@@ -1,0 +1,162 @@
+"""Typed configuration + CLI mirroring the reference flag surface.
+
+The reference exposes ~18 argparse flags (reference: model_option.py:5-89).
+We keep the exact flag names and defaults, fix its declared-type bugs
+(``--learning_rate`` was `type=str`, ``--scales``/``--frame_ids``/
+``--pose_frames`` unparseable from the CLI; model_option.py:36-38, 56-58,
+67-72), and add TPU-native extras (precision, mesh, checkpoint/resume,
+profiling) under new flags so the reference CLI remains a strict subset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Sequence, Tuple, Union
+
+FrameId = Union[int, str]  # ints for temporal frames, "s" for the stereo frame
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- paths / dataset (reference: model_option.py:7-20) ---
+    datapath: str = "./dataset/kitti"
+    splits: str = "./splits"
+    dataset: str = "kitti_mono"          # kitti_mono | kitti_stereo
+    datatype: str = "kitti_eigen_zhou"   # kitti_benchmark | kitti_eigen_full | kitti_eigen_zhou
+
+    # --- schedule (reference: model_option.py:23-47) ---
+    epoch: int = 24
+    batch: int = 12                      # GLOBAL batch (divided over the data mesh axis)
+    prefetch: int = 2
+    num_workers: int = 12
+    learning_rate: float = 1e-4
+    scheduler_step: int = 15
+    disp_smoothness: float = 1e-3
+    save: str = "test"
+
+    # --- geometry (reference: model_option.py:50-72) ---
+    height: int = 192
+    width: int = 640
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    frame_ids: Tuple[FrameId, ...] = (0, -1, 1)
+    pose_frames: Union[int, str] = 2     # 2 | "all"
+
+    # --- model (reference: model_option.py:73-87) ---
+    num_layers: int = 18                 # 18 | 34 | 50 | 101 | 152
+    weight_init: bool = True             # ImageNet init (needs a converted checkpoint, see utils/torch_import.py)
+    pose_type: str = "separate"          # posecnn | shared | separate
+    use_automasking: bool = True
+
+    # --- TPU-native extras (no reference counterpart) ---
+    pretrained_dir: str = "./pretrained"  # dir with converted ImageNet npz checkpoints
+    precision: str = "bf16"              # bf16 | f32 compute dtype (params always f32)
+    data_parallel: int = 0               # 0 = use all local devices
+    seed: int = 42
+    log_every: int = 50                  # steps between host-side metric fetches
+    ckpt_every: int = 2                  # epochs between checkpoints (reference saved every 2)
+    resume: bool = False
+    profile_dir: str = ""                # non-empty -> jax.profiler traces
+    save_root: str = "./model_save"
+    use_pallas: bool = True              # use Pallas kernels where available
+    sync_bn: bool = True                 # batch-norm stats over the global batch (see training/)
+
+    @property
+    def num_pose_frames(self) -> int:
+        # reference: model_tool/loader.py:20-23
+        if self.pose_frames == "all":
+            return len([f for f in self.frame_ids if f != "s"])
+        return 2
+
+    @property
+    def temporal_frame_ids(self) -> Tuple[int, ...]:
+        return tuple(f for f in self.frame_ids if f != "s")
+
+    @property
+    def source_frame_ids(self) -> Tuple[FrameId, ...]:
+        return tuple(self.frame_ids[1:])
+
+    @property
+    def num_scales(self) -> int:
+        return len(self.scales)
+
+    def validate(self) -> "Config":
+        if self.height % 32 or self.width % 32:
+            raise ValueError("height/width must be multiples of 32 (reference: kitti_mono.py:264)")
+        if self.frame_ids[0] != 0:
+            raise ValueError("frame_ids must start with the key frame 0")
+        if self.dataset == "kitti_stereo" and "s" not in self.frame_ids:
+            raise ValueError('kitti_stereo requires "s" in frame_ids (reference: kitti_stereo.py:176)')
+        if self.pose_type not in ("posecnn", "shared", "separate"):
+            raise ValueError(f"unknown pose_type {self.pose_type!r}")
+        if self.dataset not in ("kitti_mono", "kitti_stereo"):
+            raise ValueError(f"unknown dataset {self.dataset!r}")
+        return self
+
+
+def _parse_frame_ids(text: str) -> Tuple[FrameId, ...]:
+    out = []
+    for token in text.replace(",", " ").split():
+        out.append(token if token == "s" else int(token))
+    return tuple(out)
+
+
+def _parse_scales(text: str) -> Tuple[int, ...]:
+    return tuple(int(t) for t in text.replace(",", " ").split())
+
+
+def _parse_bool(text: str) -> bool:
+    return str(text).lower() in ("1", "true", "yes", "y")
+
+
+def _parse_pose_frames(text: str) -> Union[int, str]:
+    return "all" if text == "all" else int(text)
+
+
+def options(argv: Sequence[str] | None = None) -> Config:
+    """argparse front-end; every reference flag keeps its name and default."""
+    d = Config()
+    p = argparse.ArgumentParser(description="monodepth_tpu training options")
+    p.add_argument("--datapath", default=d.datapath, type=str)
+    p.add_argument("--splits", default=d.splits, type=str)
+    p.add_argument("--dataset", default=d.dataset, type=str,
+                   choices=["kitti_mono", "kitti_stereo"])
+    p.add_argument("--datatype", default=d.datatype, type=str,
+                   choices=["kitti_benchmark", "kitti_eigen_full", "kitti_eigen_zhou"])
+    p.add_argument("--epoch", default=d.epoch, type=int)
+    p.add_argument("--batch", default=d.batch, type=int)
+    p.add_argument("--prepetch", "--prefetch", dest="prefetch", default=d.prefetch, type=int)
+    p.add_argument("--num_workers", default=d.num_workers, type=int)
+    p.add_argument("--learning_rate", default=d.learning_rate, type=float)
+    p.add_argument("--scheduler_step", default=d.scheduler_step, type=int)
+    p.add_argument("--disp_smoothness", default=d.disp_smoothness, type=float)
+    p.add_argument("--save", default=d.save, type=str)
+    p.add_argument("--height", default=d.height, type=int)
+    p.add_argument("--width", default=d.width, type=int)
+    p.add_argument("--scales", default=d.scales, type=_parse_scales)
+    p.add_argument("--min_depth", default=d.min_depth, type=float)
+    p.add_argument("--max_depth", default=d.max_depth, type=float)
+    p.add_argument("--frame_ids", default=d.frame_ids, type=_parse_frame_ids)
+    p.add_argument("--pose_frames", default=d.pose_frames, type=_parse_pose_frames)
+    p.add_argument("--num_layers", default=d.num_layers, type=int,
+                   choices=[18, 34, 50, 101, 152])
+    p.add_argument("--weight_init", default=d.weight_init, type=_parse_bool)
+    p.add_argument("--pose_type", default=d.pose_type, type=str,
+                   choices=["posecnn", "shared", "separate"])
+    p.add_argument("--use_automasking", default=d.use_automasking, type=_parse_bool)
+    # TPU extras
+    p.add_argument("--pretrained_dir", default=d.pretrained_dir, type=str)
+    p.add_argument("--precision", default=d.precision, type=str, choices=["bf16", "f32"])
+    p.add_argument("--data_parallel", default=d.data_parallel, type=int)
+    p.add_argument("--seed", default=d.seed, type=int)
+    p.add_argument("--log_every", default=d.log_every, type=int)
+    p.add_argument("--ckpt_every", default=d.ckpt_every, type=int)
+    p.add_argument("--resume", default=d.resume, type=_parse_bool)
+    p.add_argument("--profile_dir", default=d.profile_dir, type=str)
+    p.add_argument("--save_root", default=d.save_root, type=str)
+    p.add_argument("--use_pallas", default=d.use_pallas, type=_parse_bool)
+    p.add_argument("--sync_bn", default=d.sync_bn, type=_parse_bool)
+    args = p.parse_args(argv)
+    return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)}).validate()

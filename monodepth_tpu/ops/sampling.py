@@ -1,0 +1,143 @@
+"""Image sampling primitives: grid-sample, resizes, pyramids. NHWC, pure jnp.
+
+The reference delegates these to torch C++/CUDA kernels
+(`F.grid_sample` / `F.interpolate`, reference: model_layer/warp.py:12-25);
+XLA has no grid-sample primitive, so we build one TPU-first:
+
+- `grid_sample`: bilinear, border padding, align_corners=True — exact
+  PyTorch semantics (clamp the continuous coordinate to [0, size-1],
+  then blend the 4 clamped neighbors). The gather is expressed over a
+  flattened H*W axis (one gather instead of two chained ones).
+- `resize_bilinear`: separable resize as two matmuls against constant
+  interpolation matrices -> runs on the MXU instead of gather units.
+  Matches `F.interpolate(mode="bilinear")` for both align_corners modes
+  (no antialiasing, like torch).
+- `upsample_nearest_2x`: exact `F.interpolate(scale_factor=2, "nearest")`.
+- `downsample_2x_avg`: area downsample used for the on-device color
+  pyramid (see data/: the host ships only full-res frames).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def grid_sample(image: Array, grid: Array) -> Array:
+    """Bilinear sample `image` at `grid`, border padding, align_corners=True.
+
+    image: [B, H, W, C]; grid: [B, Ho, Wo, 2] with (x, y) in [-1, 1].
+    Returns [B, Ho, Wo, C]. Matches
+    `F.grid_sample(img, grid, padding_mode="border", align_corners=True)`
+    (reference call site: model_layer/warp.py:12-14, model_tool/processor.py:161).
+    """
+    B, H, W, C = image.shape
+    dtype = image.dtype
+
+    # Unnormalize: align_corners=True maps [-1,1] -> [0, size-1].
+    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    # Border padding: clamp the continuous coordinate (PyTorch clip_coordinates).
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(dtype)[..., None]
+    wy = (y - y0).astype(dtype)[..., None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+
+    flat = image.reshape(B, H * W, C)
+
+    def take(yi, xi):
+        idx = yi * W + xi  # [B, Ho, Wo]
+        return jnp.take_along_axis(
+            flat, idx.reshape(B, -1, 1), axis=1
+        ).reshape(*idx.shape, C)
+
+    v00 = take(y0i, x0i)
+    v01 = take(y0i, x1i)
+    v10 = take(y1i, x0i)
+    v11 = take(y1i, x1i)
+
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_resize_matrix(in_size: int, out_size: int,
+                          align_corners: bool) -> np.ndarray:
+    """[out, in] row-stochastic bilinear interpolation matrix (no antialias,
+    torch `F.interpolate` coordinate conventions)."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    if align_corners and out_size > 1:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        scale = in_size / out_size
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w = src - lo
+    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(mat, (rows, lo), (1.0 - w).astype(np.float32))
+    np.add.at(mat, (rows, hi), w.astype(np.float32))
+    return mat
+
+
+def resize_bilinear(image: Array, height: int, width: int,
+                    align_corners: bool = False) -> Array:
+    """Separable bilinear resize as two MXU matmuls.
+
+    Matches `F.interpolate(x, [height, width], mode="bilinear",
+    align_corners=...)` (reference call sites: model_tool/processor.py:142,
+    model_loss/model_metric.py:87-88). image: [B, H, W, C].
+    """
+    B, H, W, C = image.shape
+    if (H, W) == (height, width):
+        return image
+    dtype = image.dtype
+    Rh = jnp.asarray(_linear_resize_matrix(H, height, align_corners), dtype)
+    Rw = jnp.asarray(_linear_resize_matrix(W, width, align_corners), dtype)
+    # precision="highest": keep f32 interpolation weights exact on the MXU
+    # (TPU matmuls default to bf16 inputs); this path is parity-critical
+    # (metric resize to 375x1242) and tiny next to the conv FLOPs.
+    out = jnp.einsum("oh,bhwc->bowc", Rh, image, precision="highest")
+    out = jnp.einsum("ow,bhwc->bhoc", Rw, out, precision="highest")
+    return out
+
+
+def upsample_nearest_2x(image: Array) -> Array:
+    """Exact `F.interpolate(x, scale_factor=2, mode="nearest")`
+    (reference: model_layer/depth_decoder.py:13-14): each pixel repeats 2x2."""
+    return image.repeat(2, axis=1).repeat(2, axis=2)
+
+
+def downsample_2x_avg(image: Array) -> Array:
+    """2x2 area (average) downsample, used to build the on-device color
+    pyramid for the smoothness loss. The reference instead re-resizes the
+    PIL image per scale on the host (kitti_mono.py:287-290); an area
+    pyramid is the TPU-native equivalent and keeps host IO 4x smaller."""
+    B, H, W, C = image.shape
+    x = image.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.mean(axis=(2, 4))
+
+
+def pyramid(image: Array, num_scales: int) -> list[Array]:
+    """[full, /2, /4, ...] — `num_scales` levels."""
+    out = [image]
+    for _ in range(num_scales - 1):
+        out.append(downsample_2x_avg(out[-1]))
+    return out
