@@ -1,0 +1,111 @@
+"""Host-side input pipeline: threaded loading, batching, device prefetch.
+
+Replaces the reference's `DataLoader(batch, shuffle, num_workers=12,
+drop_last=True)` (model_tool/loader.py:60-61) with a TPU-oriented feed:
+
+- thread-pool sample loading (PIL decode / numpy projection release the
+  GIL for the heavy parts), a sliding window of in-flight samples
+- deterministic per-(seed, epoch, index) sample RNG -> reproducible runs
+  regardless of worker scheduling
+- fixed-shape batches (drop_last) so the train step compiles once
+- `prefetch_to_device`: stages the next batches onto the device (with an
+  optional NamedSharding for the data-parallel mesh) while the current
+  step runs — the TPU never waits on PCIe.
+"""
+
+from __future__ import annotations
+
+import collections
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+class Loader:
+    """Epoch-based batch iterator over a dataset with `sample(i, rng)`."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 8, seed: int = 0, drop_last: bool = True,
+                 prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch_batches = max(1, prefetch_batches)
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _ensure_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers,
+                                            thread_name_prefix="loader")
+        return self._pool
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield numpy batches for one epoch."""
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        if self.drop_last:
+            order = order[: (n // self.batch_size) * self.batch_size]
+
+        pool = self._ensure_pool()
+
+        def load(index: int):
+            rng = np.random.default_rng((self.seed, epoch, int(index)))
+            return self.dataset.sample(int(index), rng)
+
+        window = self.batch_size * (self.prefetch_batches + 1)
+        futures = collections.deque()
+        it = iter(order)
+        for idx in order[:window]:
+            futures.append(pool.submit(load, idx))
+            next(it)
+
+        batch = []
+        for fut in iter(lambda: futures.popleft() if futures else None, None):
+            batch.append(fut.result())
+            nxt = next(it, None)
+            if nxt is not None:
+                futures.append(pool.submit(load, nxt))
+            if len(batch) == self.batch_size:
+                yield _collate(batch)
+                batch = []
+        if batch and not self.drop_last:
+            yield _collate(batch)
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Stage `size` batches ahead on device. With a NamedSharding, batches
+    land pre-sharded across the mesh's data axis (host->HBM copies overlap
+    the running step because jax dispatch is async)."""
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    for batch in iterator:
+        queue.append(put(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,171 @@
+"""Data layer: velodyne projection, synthetic-tree loaders, jitter parity."""
+
+import numpy as np
+import pytest
+import torch
+
+from monodepth_tpu.data import augment, kitti
+from monodepth_tpu.data.dataset import KittiDataset
+from monodepth_tpu.data.pipeline import Loader
+from monodepth_tpu.data.synthetic import DRIVE, make_kitti_tree, make_split_files
+
+
+@pytest.fixture(scope="module")
+def kitti_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti"))
+    make_kitti_tree(root, num_frames=6)
+    make_split_files(root, num_frames=6)
+    return root
+
+
+def test_velodyne_projection_known_point(tmp_path):
+    """A single velodyne point at (z=10m forward, on-axis) must land at the
+    principal point with depth 10."""
+    root = str(tmp_path)
+    make_kitti_tree(root, num_frames=1)
+    # one on-axis point 10m ahead: velo (x=10 fwd, y=0, z=0) -> cam (0,0,10)
+    # -> pixel (cx, cy) with depth 10
+    pt = np.array([[10.0, 0.0, 0.0, 1.0]], dtype=np.float32)
+    velo_path = f"{root}/{DRIVE}/velodyne_points/data/0000000000.bin"
+    pt.tofile(velo_path)
+
+    depth = kitti.velodyne_to_depth(f"{root}/2011_09_26", velo_path, cam=2)
+    assert depth.shape == (375, 1242)
+    ys, xs = np.nonzero(depth)
+    assert len(ys) == 1
+    # cx=609.56, cy=172.85; minus-1 matlab convention
+    assert abs(xs[0] - (609.5593 - 1)) <= 1.0
+    assert abs(ys[0] - (172.854 - 1)) <= 1.0
+    assert np.isclose(depth[ys[0], xs[0]], 10.0, atol=1e-5)
+
+
+def test_velodyne_duplicate_keeps_min(tmp_path):
+    root = str(tmp_path)
+    make_kitti_tree(root, num_frames=1)
+    pts = np.array([[10.0, 0.0, 0.0, 1.0],
+                    [10.0005, 0.0, 0.0, 1.0]], dtype=np.float32)  # same pixel
+    velo_path = f"{root}/{DRIVE}/velodyne_points/data/0000000000.bin"
+    pts.tofile(velo_path)
+    depth = kitti.velodyne_to_depth(f"{root}/2011_09_26", velo_path, cam=2)
+    assert np.isclose(depth.max(), 10.0, atol=1e-4)
+
+
+def test_intrinsics_per_axis_scaling():
+    K, inv_K = kitti.intrinsics(192, 640)
+    assert np.isclose(K[0, 0], 0.58 * 640)
+    assert np.isclose(K[1, 1], 1.92 * 192)  # fy scaled by HEIGHT (bug fixed)
+    assert np.isclose(K[0, 2], 0.5 * 640)
+    np.testing.assert_allclose(K @ inv_K, np.eye(4), atol=1e-5)
+
+
+def test_stereo_transform_signs():
+    assert kitti.stereo_transform("l", False)[0, 3] == -0.1
+    assert kitti.stereo_transform("r", False)[0, 3] == 0.1
+    assert kitti.stereo_transform("l", True)[0, 3] == 0.1
+
+
+def test_dataset_sample_contract(kitti_tree):
+    lines = kitti.readlines(f"{kitti_tree}/splits/kitti_eigen_zhou/train_files.txt")
+    ds = KittiDataset(kitti_tree, lines, True, (0, -1, 1), 96, 320)
+    s = ds.sample(0, np.random.default_rng(0))
+    assert s["frames"].shape == (3, 96, 320, 3) and s["frames"].dtype == np.uint8
+    assert s["depth_gt"].shape == (375, 1242)
+    assert s["depth_gt"].max() > 0  # GT projection produced hits
+    assert s["K"].shape == (4, 4) and s["jitter"].shape == (5,)
+    assert "stereo_T" not in s
+
+
+def test_dataset_stereo_sample(kitti_tree):
+    lines = kitti.readlines(f"{kitti_tree}/splits/kitti_eigen_zhou/train_files.txt")
+    ds = KittiDataset(kitti_tree, lines, True, (0, -1, 1, "s"), 96, 320)
+    s = ds.sample(0, np.random.default_rng(3))
+    assert s["frames"].shape == (4, 96, 320, 3)
+    assert abs(s["stereo_T"][0, 3]) == np.float32(0.1)
+
+
+def test_dataset_flip_is_deterministic(kitti_tree):
+    lines = kitti.readlines(f"{kitti_tree}/splits/kitti_eigen_zhou/train_files.txt")
+    ds = KittiDataset(kitti_tree, lines, True, (0,), 96, 320)
+    a = ds.sample(0, np.random.default_rng(7))
+    b = ds.sample(0, np.random.default_rng(7))
+    np.testing.assert_array_equal(a["frames"], b["frames"])
+    np.testing.assert_array_equal(a["jitter"], b["jitter"])
+
+
+def test_loader_batches(kitti_tree):
+    lines = kitti.readlines(f"{kitti_tree}/splits/kitti_eigen_zhou/train_files.txt")
+    ds = KittiDataset(kitti_tree, lines, True, (0, -1, 1), 96, 320)
+    loader = Loader(ds, batch_size=2, shuffle=True, num_workers=2, seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(lines) // 2 == len(loader)
+    assert batches[0]["frames"].shape == (2, 3, 96, 320, 3)
+    # deterministic across re-iterations of the same epoch
+    again = list(loader.epoch(0))
+    np.testing.assert_array_equal(batches[0]["frames"], again[0]["frames"])
+    # different epoch -> different order or augmentation
+    other = list(loader.epoch(1))
+    assert not all(
+        np.array_equal(a["frames"], b["frames"]) for a, b in zip(batches, other))
+    loader.close()
+
+
+def test_color_jitter_matches_torchvision_functional(rng):
+    """Check each jitter component against torchvision's documented blend
+    formulas implemented in torch."""
+    import jax.numpy as jnp
+
+    img = rng.uniform(0, 1, (1, 4, 6, 3)).astype(np.float32)
+
+    def blend(i1, i2, ratio):
+        return np.clip(ratio * i1 + (1 - ratio) * i2, 0, 1)
+
+    gray = (img * np.array([0.299, 0.587, 0.114])).sum(-1, keepdims=True)
+
+    # brightness only
+    out = augment.color_jitter(jnp.asarray(img),
+                               jnp.asarray([[1, 1.1, 1.0, 1.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(out), blend(img, 0, 1.1), atol=1e-6)
+
+    # contrast only
+    out = augment.color_jitter(jnp.asarray(img),
+                               jnp.asarray([[1, 1.0, 0.9, 1.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(out), blend(img, gray.mean(), 0.9),
+                               atol=1e-6)
+
+    # saturation only
+    out = augment.color_jitter(jnp.asarray(img),
+                               jnp.asarray([[1, 1.0, 1.0, 1.2, 0.0]]))
+    np.testing.assert_allclose(np.asarray(out), blend(img, gray, 1.2), atol=1e-6)
+
+    # apply=0 -> identity even with aggressive factors
+    out = augment.color_jitter(jnp.asarray(img),
+                               jnp.asarray([[0, 1.2, 0.8, 1.2, 0.1]]))
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-7)
+
+
+def test_hsv_roundtrip(rng):
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.uniform(0, 1, (2, 5, 5, 3)).astype(np.float32))
+    back = augment.hsv_to_rgb(augment.rgb_to_hsv(img))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(img), atol=1e-5)
+
+
+def test_hue_shift_matches_pil(rng):
+    """Hue adjustment vs PIL's HSV implementation (torchvision's backend),
+    loose tolerance for PIL's uint8 quantization."""
+    from PIL import Image
+    import jax.numpy as jnp
+
+    img = (rng.uniform(0, 1, (8, 8, 3)) * 255).astype(np.uint8)
+    delta = 0.08
+
+    pil = Image.fromarray(img, "RGB").convert("HSV")
+    h, s, v = pil.split()
+    h = h.point(lambda px: (px + int(delta * 255)) % 256)
+    expected = np.asarray(Image.merge("HSV", (h, s, v)).convert("RGB")) / 255.0
+
+    out = augment.color_jitter(
+        jnp.asarray(img[None].astype(np.float32) / 255.0),
+        jnp.asarray([[1, 1.0, 1.0, 1.0, delta]]))
+    np.testing.assert_allclose(np.asarray(out)[0], expected, atol=0.05)
