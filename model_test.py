@@ -1,0 +1,66 @@
+"""KITTI Eigen evaluation CLI (reference: model_test.py:124-159).
+
+Evaluates one or more weight sets over the test split and prints the
+7-metric table per set:
+
+    python model_test.py --datapath ./dataset/kitti --weights ./model_save/mono:22
+
+Each --weights entry is `<dir>:<epoch>` pointing at per-module npz exports
+(`encoder<epoch>.npz`, `decoder<epoch>.npz`, ... — written by the trainer's
+Checkpointer.export_modules) — conceptually the reference's
+`<key><epoch>.pt` layout. Official torch checkpoints can be converted
+with monodepth_tpu/utils/torch_import.py first.
+"""
+
+import argparse
+
+from monodepth_tpu.utils.platform import apply_env_platform
+
+apply_env_platform()
+
+from monodepth_tpu.config import Config  # noqa: E402
+from monodepth_tpu.data import kitti
+from monodepth_tpu.evaluation import evaluate, load_ground_truth
+from monodepth_tpu.evaluation.eigen import print_table, state_from_modules
+
+
+def main():
+    p = argparse.ArgumentParser(description="KITTI Eigen evaluation")
+    p.add_argument("--datapath", default="./dataset/kitti", type=str)
+    p.add_argument("--splits", default="./splits", type=str)
+    p.add_argument("--datatype", default="kitti_eigen_zhou", type=str,
+                   choices=["kitti_benchmark", "kitti_eigen_full",
+                            "kitti_eigen_zhou"])
+    p.add_argument("--num_layers", default=18, type=int)
+    p.add_argument("--height", default=192, type=int)
+    p.add_argument("--width", default=640, type=int)
+    p.add_argument("--scales", default=(0, 1, 2, 3),
+                   type=lambda t: tuple(int(x) for x in t.replace(",", " ").split()),
+                   help="must match the scales the checkpoint was trained with")
+    p.add_argument("--eval_batch", default=16, type=int)
+    p.add_argument("--weights", nargs="+", required=True,
+                   help="<dir>:<epoch> per weight set")
+    args = p.parse_args()
+
+    cfg = Config(datapath=args.datapath, splits=args.splits,
+                 datatype=args.datatype, num_layers=args.num_layers,
+                 height=args.height, width=args.width, scales=args.scales,
+                 weight_init=False)
+
+    import os
+    lines = kitti.readlines(os.path.join(
+        cfg.splits, cfg.datatype, "test_files.txt"))
+    print(f">>> Testset length {len(lines)}")
+    ground_truths = load_ground_truth(cfg.datapath, lines)
+    print(">>> Loaded ground truth depth")
+
+    for spec in args.weights:
+        directory, _, epoch = spec.rpartition(":")
+        state = state_from_modules(cfg, directory, int(epoch))
+        metrics = evaluate(cfg, state, lines, ground_truths,
+                           eval_batch=args.eval_batch)
+        print_table(spec, metrics)
+
+
+if __name__ == "__main__":
+    main()

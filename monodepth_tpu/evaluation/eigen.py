@@ -1,0 +1,175 @@
+"""KITTI Eigen test protocol — the parity target (BASELINE.md).
+
+Faithful rebuild of the reference eval pipeline (model_test.py:61-118):
+
+  1. depth-only forward over the test split at 640x192, scaled disparity
+     via disparity2depth(min=1e-3, max=80) — note the eval-specific depth
+     range (model_test.py:62-63, 82)
+  2. per image: bilinear-resize the disparity to the native GT resolution,
+     depth = 1/disp
+  3. Eigen mask (1e-3 < gt < 80) x fixed Garg crop [153:371, 44:1197]
+     for the eigen splits; gt > 0 for benchmark (model_test.py:98-105)
+  4. per-image median scaling, clamp to [1e-3, 80], 7-metric mean
+     (model_test.py:107-115)
+
+GT is projected straight from velodyne with vel_depth=True at the native
+rectified size (model_test.py:47-57). The forward runs as one jitted
+batched scan on device; the per-image metric loop is host numpy (shapes
+vary per drive).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+import jax
+import numpy as np
+
+from monodepth_tpu.config import Config
+from monodepth_tpu.data import kitti
+from monodepth_tpu.data.dataset import KittiDataset
+from monodepth_tpu.losses.metrics import METRIC_NAMES
+from monodepth_tpu.ops.sampling import _linear_resize_matrix
+from monodepth_tpu.training.state import TrainState, build_model
+from monodepth_tpu.training.step import make_infer_step
+from monodepth_tpu.utils.serialization import load_npz
+
+MIN_DEPTH, MAX_DEPTH = 1e-3, 80.0
+GARG_CROP = (153, 371, 44, 1197)  # model_test.py:100
+
+
+def depth_errors_np(gt: np.ndarray, pred: np.ndarray) -> np.ndarray:
+    """The 7 KITTI depth metrics over flat valid pixels (numpy twin of
+    losses/metrics.depth_errors; reference: model_metric.py:19-44)."""
+    thresh = np.maximum(gt / pred, pred / gt)
+    a1 = (thresh < 1.25).mean()
+    a2 = (thresh < 1.25 ** 2).mean()
+    a3 = (thresh < 1.25 ** 3).mean()
+    rmse = np.sqrt(((gt - pred) ** 2).mean())
+    rmse_log = np.sqrt(((np.log(gt) - np.log(pred)) ** 2).mean())
+    abs_rel = (np.abs(gt - pred) / gt).mean()
+    sq_rel = ((gt - pred) ** 2 / gt).mean()
+    return np.array([abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3])
+
+
+def resize_bilinear_np(image: np.ndarray, height: int, width: int) -> np.ndarray:
+    """cv2.resize(..., INTER_LINEAR) equivalent: separable half-pixel
+    bilinear, no antialiasing (model_test.py:95)."""
+    Rh = _linear_resize_matrix(image.shape[0], height, align_corners=False)
+    Rw = _linear_resize_matrix(image.shape[1], width, align_corners=False)
+    return Rh @ image.astype(np.float64) @ Rw.T
+
+
+def load_ground_truth(datapath: str, lines: Sequence[str]) -> List[np.ndarray]:
+    """Native-size velodyne GT depths, vel_depth=True (model_test.py:47-57)."""
+    out = []
+    for line in lines:
+        folder, frame, side = kitti.parse_split_line(line)
+        depth = kitti.velodyne_to_depth(
+            kitti.calib_dir(datapath, folder),
+            kitti.velodyne_path(datapath, folder, frame),
+            cam=kitti.SIDE_MAP[side], vel_depth=True)
+        out.append(depth)
+    return out
+
+
+def predict_disparities(cfg: Config, state: TrainState,
+                        lines: Sequence[str],
+                        eval_batch: int = 16) -> np.ndarray:
+    """Jitted batched depth-only forward -> [N, H, W] scaled disparities."""
+    model = build_model(cfg)
+    infer = make_infer_step(model, cfg)
+    dataset = KittiDataset(cfg.datapath, lines, is_training=False,
+                           frame_ids=(0,), height=cfg.height,
+                           width=cfg.width, load_depth=False)
+    rng = np.random.default_rng(0)
+    disps = []
+    for start in range(0, len(lines), eval_batch):
+        idx = range(start, min(start + eval_batch, len(lines)))
+        frames = np.stack([dataset.sample(i, rng)["frames"][0] for i in idx])
+        pad = eval_batch - len(frames)
+        if pad:  # keep the batch shape static for jit
+            frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
+        images = frames.astype(np.float32) / 255.0
+        out = np.asarray(jax.device_get(infer(state, images)))
+        disps.append(out[: len(idx)])
+    return np.concatenate(disps)
+
+
+def eigen_metrics(disparities: np.ndarray,
+                  ground_truths: Sequence[np.ndarray],
+                  datatype: str = "kitti_eigen_zhou") -> Dict[str, float]:
+    """Steps 2-4 of the protocol over precomputed disparities."""
+    errors = []
+    eigen = "eigen" in datatype
+    for disp, gt in zip(disparities, ground_truths):
+        height, width = gt.shape
+        pred_depth = 1.0 / resize_bilinear_np(disp, height, width)
+
+        if eigen:
+            mask = np.logical_and(gt > MIN_DEPTH, gt < MAX_DEPTH)
+            crop_mask = np.zeros_like(mask)
+            crop_mask[GARG_CROP[0]:GARG_CROP[1],
+                      GARG_CROP[2]:GARG_CROP[3]] = True
+            mask = np.logical_and(mask, crop_mask)
+        else:
+            mask = gt > 0.0
+
+        pred = pred_depth[mask]
+        gt_m = gt[mask]
+        pred *= np.median(gt_m) / np.median(pred)
+        pred = np.clip(pred, MIN_DEPTH, MAX_DEPTH)
+        errors.append(depth_errors_np(gt_m, pred))
+    means = np.stack(errors).mean(0)
+    return dict(zip(METRIC_NAMES, means))
+
+
+def evaluate(cfg: Config, state: TrainState,
+             lines: Sequence[str] | None = None,
+             ground_truths: Sequence[np.ndarray] | None = None,
+             eval_batch: int = 16) -> Dict[str, float]:
+    """Full protocol: forward + metrics. Returns {metric: value}."""
+    if lines is None:
+        lines = kitti.readlines(os.path.join(
+            cfg.splits, cfg.datatype, "test_files.txt"))
+    if ground_truths is None:
+        ground_truths = load_ground_truth(cfg.datapath, lines)
+    disps = predict_disparities(cfg, state, lines, eval_batch)
+    return eigen_metrics(disps, ground_truths, cfg.datatype)
+
+
+def state_from_modules(cfg: Config, weights_dir: str,
+                       epoch: int) -> TrainState:
+    """Assemble an eval-only TrainState from per-module npz exports
+    (`encoder<epoch>.npz` etc — the reference's per-model checkpoint
+    layout, model_tool/logger.py:60-66 / model_test.py:29-43)."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.training.state import create_state, make_optimizer
+
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, 1)
+    state = create_state(cfg, model, tx)
+    params = dict(state.params)
+    stats = dict(state.batch_stats)
+    for name in params:
+        path = os.path.join(weights_dir, f"{name}{epoch}.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        tree = load_npz(path)
+        params[name] = tree["params"]
+        if "batch_stats" in tree:
+            stats[name] = tree["batch_stats"]
+    params = jax.tree.map(jnp.asarray, params)
+    stats = jax.tree.map(jnp.asarray, stats)
+    return TrainState(step=state.step, params=params, batch_stats=stats,
+                      opt_state=state.opt_state, rng=state.rng)
+
+
+def print_table(name: str, metrics: Dict[str, float]) -> None:
+    """The reference's console table (model_test.py:117-118)."""
+    print(f">>> {name}")
+    print(">>>   abs_rel   sqrt_rel  rmse      rmse_log  a1        a2        a3")
+    print(">>>" + ("   {:4.3f}  " * 7).format(
+        *[metrics[k] for k in METRIC_NAMES]))

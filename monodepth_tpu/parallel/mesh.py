@@ -1,0 +1,81 @@
+"""Device mesh + sharding layout for scaling over ICI.
+
+The reference is strictly single-device (`'cuda:0'`, model_train.py:28 —
+no torch.distributed anywhere; SURVEY.md §2.7). This module is its
+TPU-native replacement: a `jax.sharding.Mesh` with two axes,
+
+  "data"    — batch parallelism: the global batch splits across chips;
+              loss means, gradients and batch-norm statistics become
+              global reductions (XLA inserts psums over ICI).
+  "spatial" — optional image-height parallelism for high-res configs
+              (BASELINE.json config 5): convolutions over an H-sharded
+              tensor compile to halo exchanges between neighbors.
+
+Nothing in the train step mentions the mesh: inputs arrive pre-sharded
+(`shard_batch`), state is replicated, and GSPMD propagates the layout
+through the whole step — the scaling-book recipe (pick a mesh, annotate
+shardings, let XLA place the collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "spatial")
+
+# batch-dict key -> H-axis index for spatial sharding. frames are
+# [B, F, H, W, 3]; only the model-resolution images shard spatially
+# (depth_gt is 375 px tall — not divisible, and only read by metrics).
+_SPATIAL_KEYS = {"frames": 2}
+
+
+def make_mesh(data: int = 0, spatial: int = 1, devices=None) -> Mesh:
+    """Build a ("data", "spatial") mesh. data=0 means "all remaining
+    devices"; adjacent mesh coordinates map to ICI neighbors by using the
+    default device order."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == 0:
+        if n % spatial:
+            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+        data = n // spatial
+    if data * spatial > n:
+        raise ValueError(f"mesh {data}x{spatial} needs {data * spatial} "
+                         f"devices, have {n}")
+    grid = devices[: data * spatial].reshape(data, spatial)
+    return Mesh(grid, AXES)
+
+
+def batch_sharding(mesh: Mesh, key: str, ndim: int) -> NamedSharding:
+    """Sharding for one batch entry: batch dim over "data"; H over
+    "spatial" for image-like tensors."""
+    spec = [None] * ndim
+    spec[0] = "data"
+    axis = _SPATIAL_KEYS.get(key)
+    if axis is not None and mesh.shape["spatial"] > 1:
+        spec[axis] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
+    """device_put a host batch onto the mesh, each entry laid out per
+    `batch_sharding`. Returns a dict of global jax.Arrays."""
+    return {
+        k: jax.device_put(v, batch_sharding(mesh, k, v.ndim))
+        for k, v in batch.items()
+    }
+
+
+def batch_shardings(mesh: Mesh, batch: Dict[str, np.ndarray]):
+    """The sharding pytree matching `batch` (for prefetch_to_device)."""
+    return {k: batch_sharding(mesh, k, v.ndim) for k, v in batch.items()}
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (train state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

@@ -1,0 +1,68 @@
+"""Orbax checkpoint/resume of the FULL train state.
+
+The reference saves per-module `state_dict`s every 2 epochs and never
+saves optimizer/scheduler state or offers resume (reference:
+model_tool/logger.py:51-68; SURVEY.md §5.4). Here a checkpoint is the
+whole `TrainState` (params + batch_stats + Adam moments + step + rng), so
+a resumed run is bit-continuous with an uninterrupted one. A per-module
+npz export preserves the reference's per-model artifact layout
+(`encoder<epoch>.npz`, `decoder<epoch>.npz`, ...) for eval tooling.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from monodepth_tpu.training.state import TrainState
+from monodepth_tpu.utils.serialization import save_npz
+
+
+class Checkpointer:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, epoch: int) -> str:
+        return os.path.join(self.directory, f"state_{epoch:04d}")
+
+    def save(self, epoch: int, state: TrainState) -> str:
+        path = self._path(epoch)
+        self._ckpt.save(path, jax.device_get(state), force=True)
+        self._ckpt.wait_until_finished()
+        return path
+
+    def latest_epoch(self) -> Optional[int]:
+        epochs = [int(m.group(1))
+                  for name in os.listdir(self.directory)
+                  if (m := re.fullmatch(r"state_(\d+)", name))]
+        return max(epochs) if epochs else None
+
+    def restore(self, state: TrainState, epoch: int | None = None) -> tuple[TrainState, int]:
+        """Restore into the structure of `state` (used as the abstract
+        target). Returns (state, epoch_restored)."""
+        if epoch is None:
+            epoch = self.latest_epoch()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state)
+        restored = self._ckpt.restore(self._path(epoch), abstract)
+        return restored, epoch
+
+    def export_modules(self, epoch: int, state: TrainState) -> None:
+        """Per-module npz export mirroring the reference layout
+        (`<key><epoch+1>.pt`, logger.py:60-66)."""
+        params = jax.device_get(state.params)
+        stats = jax.device_get(state.batch_stats)
+        for name, tree in params.items():
+            out = {"params": tree}
+            if name in stats and jax.tree.leaves(stats[name]):
+                out["batch_stats"] = stats[name]
+            save_npz(os.path.join(self.directory, f"{name}{epoch + 1}.npz"),
+                     out)

@@ -1,0 +1,209 @@
+"""The jitted training / eval step: decode -> forward -> warp -> loss -> update.
+
+One `jax.jit` region per step (vs the reference's eager per-batch Python,
+model_tool/processor.py:16-218 + model_train.py:64-71): XLA fuses the
+device-side augmentation, the multi-scale warp and the loss assembly into
+the conv graph, and the optimizer update runs in-place on donated buffers.
+
+Semantics mirrored from the reference compute graph:
+- depth/pose nets consume `color_aug`; warping samples the *unaugmented*
+  full-res source, and the loss target is unaugmented scale-0 color
+  (processor.py:36-39, 125, 160-162, 172-181).
+- disparity at every scale is bilinearly upsampled (align_corners=False)
+  to full resolution before depth conversion + warping, with scale-0
+  intrinsics (processor.py:141-144, 159-160).
+- `posecnn` scales its translation by the mean inverse depth of the
+  current scale at warp time (processor.py:152-157).
+- stereo frames use the dataset-provided fixed-baseline transform
+  (processor.py:147-149).
+
+Under a `jax.sharding.Mesh`, the same jitted functions run data-parallel:
+batches arrive sharded over the "data" axis (see parallel/), sharding
+propagation makes every per-batch reduction (loss mean, gradients,
+batch-norm statistics) a global reduction, and XLA inserts the psums over
+ICI. Batch-norm therefore behaves as sync-BN over the global batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from monodepth_tpu.config import Config
+from monodepth_tpu.data.augment import decode_frames
+from monodepth_tpu.losses.metrics import training_depth_metric
+from monodepth_tpu.losses.reprojection import monodepth_loss
+from monodepth_tpu.models.monodepth import Monodepth
+from monodepth_tpu.ops.geometry import (
+    disparity_to_depth,
+    transform_from_parameters,
+    warp_grid,
+)
+from monodepth_tpu.ops.sampling import pyramid, resize_bilinear
+from monodepth_tpu.training.state import TrainState
+
+Array = jax.Array
+
+
+def _get_grid_sample(cfg: Config):
+    if cfg.use_pallas:
+        try:
+            from monodepth_tpu.ops.pallas import grid_sample as pallas_gs
+            return pallas_gs
+        except ImportError:
+            pass
+    from monodepth_tpu.ops.sampling import grid_sample
+    return grid_sample
+
+
+def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
+                   cfg: Config, *, train: bool) -> Dict[str, Any]:
+    """Forward the model and synthesize every (scale, source) warp.
+
+    Returns disps / warped / sources / target_pyr / depth0 (full-res
+    scale-0 depth for metrics) / batch_stats — everything float32 even
+    when the net computes in bf16 (the loss stack is parity-critical).
+    """
+    grid_sample = _get_grid_sample(cfg)
+    color, color_aug = decode_frames(batch["frames"], batch["jitter"])
+
+    if train:
+        (disps, poses), mutated = model.apply(
+            variables, color_aug, train=True, mutable=["batch_stats"])
+        new_batch_stats = mutated["batch_stats"]
+    else:
+        disps, poses = model.apply(variables, color_aug, train=False)
+        new_batch_stats = variables.get("batch_stats", {})
+
+    f32 = jnp.float32
+    H, W = cfg.height, cfg.width
+    source_ids = list(cfg.source_frame_ids)
+
+    target = color[:, 0].astype(f32)
+    sources = [color[:, cfg.frame_ids.index(fid)].astype(f32)
+               for fid in source_ids]
+    K = batch["K"].astype(f32)
+    inv_K = batch["inv_K"].astype(f32)
+    disps = {s: d.astype(f32) for s, d in disps.items()}
+    poses = {fid: (aa.astype(f32), t.astype(f32))
+             for fid, (aa, t) in poses.items()}
+
+    # Pairwise transforms are depth-independent for shared/separate — one
+    # 4x4 per source frame, hoisted out of the scale loop.
+    transforms: Dict[Any, Array] = {}
+    if cfg.pose_type in ("shared", "separate"):
+        for fid in source_ids:
+            if fid != "s":
+                aa, t = poses[fid]
+                transforms[fid] = transform_from_parameters(
+                    aa, t, invert=model.invert_for_frame(fid))
+
+    warped: Dict[int, list] = {}
+    depth0 = None
+    for scale in cfg.scales:
+        disp_full = resize_bilinear(disps[scale], H, W, align_corners=False)
+        _, depth = disparity_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
+        if scale == 0:
+            depth0 = depth
+
+        warps = []
+        for fid, src in zip(source_ids, sources):
+            if fid == "s":
+                T = batch["stereo_T"].astype(f32)
+            elif cfg.pose_type == "posecnn":
+                aa, t = poses[fid]
+                mean_inv_depth = (1.0 / depth).mean(axis=(1, 2, 3))
+                T = transform_from_parameters(
+                    aa, t * mean_inv_depth[:, None],
+                    invert=model.invert_for_frame(fid))
+            else:
+                T = transforms[fid]
+            grid = warp_grid(depth, inv_K, K, T)
+            warps.append(grid_sample(src, grid))
+        warped[scale] = warps
+
+    return {
+        "disps": disps,
+        "warped": warped,
+        "sources": sources,
+        "target_pyr": pyramid(target, max(cfg.scales) + 1),
+        "depth0": depth0,
+        "batch_stats": new_batch_stats,
+    }
+
+
+def _loss_from_outputs(out, rng, cfg: Config):
+    return monodepth_loss(
+        out["disps"], out["warped"], out["sources"], out["target_pyr"], rng,
+        scales=cfg.scales, disp_smoothness=cfg.disp_smoothness,
+        use_automasking=cfg.use_automasking)
+
+
+def _metrics(loss, aux, out, batch):
+    metrics = {"loss": loss}
+    if "depth_gt" in batch:
+        metrics.update(training_depth_metric(out["depth0"], batch["depth_gt"]))
+    return metrics
+
+
+def make_train_step(model: Monodepth, tx: optax.GradientTransformation,
+                    cfg: Config, donate: bool = True):
+    """Build the jitted train step: (TrainState, batch) -> (TrainState,
+    metrics). With donate=True (production) the state buffers are donated —
+    parameters and optimizer state update in place in HBM; pass False when
+    the caller must keep the pre-step state alive (tests, debugging)."""
+
+    def train_step(state: TrainState, batch: Dict[str, Array]):
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out = apply_and_warp(model, variables, batch, cfg, train=True)
+            loss, aux = _loss_from_outputs(out, rng, cfg)
+            return loss, (aux, out)
+
+        (loss, (aux, out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               batch_stats=out["batch_stats"],
+                               opt_state=opt_state, rng=state.rng)
+        return new_state, _metrics(loss, aux, out, batch)
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: Monodepth, cfg: Config):
+    """Validation step: full forward + loss + metrics, no mutation
+    (reference: model_train.py:75-79 `no_grad` valid loop)."""
+
+    def eval_step(state: TrainState, batch: Dict[str, Array]):
+        rng = jax.random.fold_in(state.rng, state.step)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        out = apply_and_warp(model, variables, batch, cfg, train=False)
+        loss, aux = _loss_from_outputs(out, rng, cfg)
+        return _metrics(loss, aux, out, batch)
+
+    return jax.jit(eval_step)
+
+
+def make_infer_step(model: Monodepth, cfg: Config):
+    """Depth-only batched inference -> scaled disparity [B, H, W]
+    (reference eval forward, model_test.py:80-83: eval converts with
+    min_depth=1e-3 / max_depth=80 regardless of the training range)."""
+
+    def infer(state: TrainState, images: Array):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        disps = model.apply(variables, images, train=False,
+                            method=model.depth)
+        scaled_disp, _ = disparity_to_depth(
+            disps[0].astype(jnp.float32), 1e-3, 80.0)
+        return scaled_disp[..., 0]
+
+    return jax.jit(infer)

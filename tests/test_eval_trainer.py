@@ -1,0 +1,97 @@
+"""End-to-end tests on the synthetic mini-KITTI tree: Trainer + Eigen eval."""
+
+import os
+
+import numpy as np
+import pytest
+
+from monodepth_tpu.config import Config
+from monodepth_tpu.data.synthetic import make_kitti_tree, make_split_files
+from monodepth_tpu.evaluation import evaluate
+from monodepth_tpu.evaluation.eigen import (
+    depth_errors_np,
+    eigen_metrics,
+    resize_bilinear_np,
+    state_from_modules,
+)
+from monodepth_tpu.losses.metrics import METRIC_NAMES
+from monodepth_tpu.parallel import make_mesh
+from monodepth_tpu.training import Trainer
+
+
+@pytest.fixture(scope="module")
+def kitti_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti"))
+    make_kitti_tree(root, num_frames=8, image_hw=(96, 320))
+    splits = make_split_files(root, num_frames=8)
+    return root, splits
+
+
+def make_cfg(root, splits, save_root, **kw):
+    base = dict(datapath=root, splits=splits, height=64, width=96,
+                scales=(0, 1),
+                batch=2, epoch=1, num_workers=2, precision="f32",
+                weight_init=False, use_pallas=False, save_root=save_root,
+                log_every=0, save="t")
+    base.update(kw)
+    return Config(**base)
+
+
+def test_trainer_end_to_end(kitti_tree, tmp_path):
+    root, splits = kitti_tree
+    cfg = make_cfg(root, splits, str(tmp_path))
+    mesh = make_mesh(2, 1)
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.train()
+    assert int(state.step) == len(trainer.train_loader)
+
+    # curves written for both splits (reference wrote valid only, §2.5)
+    loss_dir = os.path.join(trainer.save_dir, "loss")
+    assert os.path.exists(os.path.join(loss_dir, "train_loss.npy"))
+    assert os.path.exists(os.path.join(loss_dir, "valid_abs_rel.npy"))
+
+    # per-module export usable by the eval CLI path
+    eval_state = state_from_modules(cfg, trainer.save_dir, cfg.epoch)
+    metrics = evaluate(cfg, eval_state, eval_batch=2)
+    assert set(metrics) == set(METRIC_NAMES)
+    assert np.isfinite(metrics["abs_rel"])
+
+    # resume: a new trainer picks up after the saved epoch
+    cfg2 = make_cfg(root, splits, str(tmp_path), resume=True, epoch=1)
+    trainer2 = Trainer(cfg2, mesh=mesh)
+    assert trainer2.start_epoch == 1
+
+
+def test_eigen_protocol_perfect_prediction():
+    """A disparity field that matches GT exactly must score ~0 error /
+    a1 = 1 under the protocol (median scaling makes it scale-free)."""
+    rng = np.random.default_rng(0)
+    H, W = 375, 1242
+    gt = np.zeros((H, W), np.float32)
+    ys = rng.integers(160, 370, 4000)
+    xs = rng.integers(50, 1190, 4000)
+    gt[ys, xs] = rng.uniform(2, 70, 4000).astype(np.float32)
+
+    disp = 1.0 / np.maximum(gt, 1.0)  # exact inverse depth where valid
+    # fill invalid pixels smoothly so resize noise stays local
+    disp[gt == 0] = np.median(disp[gt > 0])
+    metrics = eigen_metrics(disp[None], [gt], "kitti_eigen_zhou")
+    assert metrics["a1"] > 0.97
+    assert metrics["abs_rel"] < 0.05
+
+
+def test_depth_errors_np_known_values():
+    gt = np.array([10.0, 20.0, 40.0])
+    pred = np.array([10.0, 25.0, 40.0])
+    e = depth_errors_np(gt, pred)
+    assert e[0] == pytest.approx(np.mean([0, 5 / 20, 0]))  # abs_rel
+    assert e[1] == pytest.approx(np.mean([0, 25 / 20, 0]))  # sq_rel
+    # a1: thresh = [1, 1.25, 1]; the strict < excludes the exact 1.25
+    assert e[4] == pytest.approx(2 / 3)
+    assert e[5] == pytest.approx(1.0)  # a2
+
+
+def test_resize_bilinear_np_identity():
+    img = np.random.default_rng(0).uniform(size=(8, 12)).astype(np.float32)
+    out = resize_bilinear_np(img, 8, 12)
+    np.testing.assert_allclose(out, img, atol=1e-6)

@@ -1,0 +1,157 @@
+"""Training-step / state / checkpoint tests (tiny shapes, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from monodepth_tpu.config import Config
+from monodepth_tpu.training.checkpoint import Checkpointer
+from monodepth_tpu.training.state import (
+    build_model,
+    create_state,
+    make_optimizer,
+    step_decay_schedule,
+)
+from monodepth_tpu.training.step import (
+    make_eval_step,
+    make_infer_step,
+    make_train_step,
+)
+
+CFG = Config(height=64, width=96, batch=4, precision="f32", scales=(0, 1),
+             weight_init=False, use_pallas=False)
+
+
+def make_batch(cfg=CFG, batch=None, seed=0, stereo=False, with_gt=True):
+    from monodepth_tpu.data import kitti
+
+    rng = np.random.default_rng(seed)
+    B = batch or cfg.batch
+    F = len(cfg.frame_ids)
+    K, inv_K = kitti.intrinsics(cfg.height, cfg.width)
+    out = {
+        "frames": rng.integers(0, 255, (B, F, cfg.height, cfg.width, 3),
+                               dtype=np.uint8),
+        "jitter": np.tile(np.array([1, 1.1, 0.9, 1.05, 0.02], np.float32),
+                          (B, 1)),
+        "K": np.tile(K, (B, 1, 1)),
+        "inv_K": np.tile(inv_K, (B, 1, 1)),
+    }
+    if with_gt:
+        gt = rng.uniform(0, 80, (B, 375, 1242))
+        out["depth_gt"] = (gt * (rng.random(gt.shape) < 0.02)).astype(np.float32)
+    if stereo:
+        out["stereo_T"] = np.tile(kitti.stereo_transform("l", False),
+                                  (B, 1, 1))
+    return out
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_model(CFG)
+    tx = make_optimizer(CFG, steps_per_epoch=10)
+    state = create_state(CFG, model, tx)
+    return model, tx, state
+
+
+def test_train_step_updates_params(setup):
+    model, tx, state = setup
+    step = make_train_step(model, tx, CFG, donate=False)
+    state2, metrics = step(state, make_batch())
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # parameters actually moved
+    delta = jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.abs(x[0] - x[1]).sum()),
+        jax.tree.map(lambda a, b: (a, b), state.params, state2.params), 0.0)
+    assert delta > 0
+    # training metric present alongside the loss (reference logger.py:27)
+    for key in ("abs_rel", "a1", "rmse"):
+        assert key in metrics
+
+
+def test_eval_step_pure(setup):
+    model, tx, state = setup
+    ev = make_eval_step(model, CFG)
+    batch = make_batch()
+    m1 = {k: float(v) for k, v in ev(state, batch).items()}
+    m2 = {k: float(v) for k, v in ev(state, batch).items()}
+    assert m1 == m2
+
+
+def test_infer_step_shape(setup):
+    model, tx, state = setup
+    infer = make_infer_step(model, CFG)
+    images = make_batch(batch=2)["frames"][:, 0].astype(np.float32) / 255.0
+    disp = infer(state, images)
+    assert disp.shape == (2, CFG.height, CFG.width)
+    # sigmoid disparity through the eval depth range 1e-3..80
+    assert float(disp.min()) >= 1.0 / 80.0 - 1e-6
+    assert float(disp.max()) <= 1.0 / 1e-3 + 1e-3
+
+
+@pytest.mark.parametrize("pose_type", ["shared", "posecnn"])
+def test_pose_variants_train(pose_type):
+    cfg = Config(height=64, width=96, batch=2, precision="f32",
+                 scales=(0, 1), weight_init=False, use_pallas=False,
+                 pose_type=pose_type)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, 10)
+    state = create_state(cfg, model, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+    _, metrics = step(state, make_batch(cfg, batch=2, with_gt=False))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_stereo_train_step():
+    cfg = Config(height=64, width=96, batch=2, precision="f32",
+                 scales=(0, 1), weight_init=False, use_pallas=False,
+                 dataset="kitti_stereo", frame_ids=(0, -1, 1, "s"))
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, 10)
+    state = create_state(cfg, model, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+    _, metrics = step(state, make_batch(cfg, batch=2, stereo=True,
+                                        with_gt=False))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_step_decay_schedule():
+    # StepLR(step=15, gamma=0.1) stepped per epoch (loader.py:106-108)
+    sched = step_decay_schedule(1e-4, 15, steps_per_epoch=100)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(14 * 100 + 99)) == pytest.approx(1e-4)
+    assert float(sched(15 * 100)) == pytest.approx(1e-5)
+    assert float(sched(30 * 100)) == pytest.approx(1e-6)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    model, tx, state = setup
+    ckpt = Checkpointer(str(tmp_path))
+    step = make_train_step(model, tx, CFG, donate=False)
+    state2, _ = step(state, make_batch())
+    ckpt.save(0, state2)
+    assert ckpt.latest_epoch() == 0
+
+    restored, epoch = ckpt.restore(state2)
+    assert epoch == 0
+    for a, b in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # per-module export: one npz per top-level module
+    ckpt.export_modules(0, state2)
+    import os
+    names = os.listdir(tmp_path)
+    assert "encoder1.npz" in names and "decoder1.npz" in names
+
+
+def test_bn_stats_update_only_in_train(setup):
+    model, tx, state = setup
+    step = make_train_step(model, tx, CFG, donate=False)
+    state2, _ = step(state, make_batch())
+    before = jax.tree.leaves(state.batch_stats)
+    after = jax.tree.leaves(state2.batch_stats)
+    assert any(float(jnp.abs(a - b).max()) > 0
+               for a, b in zip(before, after))
