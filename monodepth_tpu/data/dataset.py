@@ -23,11 +23,13 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from typing import Dict, Sequence, Union
 
 import numpy as np
 from PIL import Image
 
+from monodepth_tpu import native
 from monodepth_tpu.data import kitti
 
 FrameId = Union[int, str]
@@ -41,7 +43,8 @@ class KittiDataset:
     def __init__(self, datapath: str, filenames: Sequence[str],
                  is_training: bool, frame_ids: Sequence[FrameId],
                  height: int = 192, width: int = 640, ext: str = ".jpg",
-                 load_depth: bool = True, gt_cache_dir: str | None = None):
+                 load_depth: bool = True, gt_cache_dir: str | None = None,
+                 use_native: bool | None = None):
         if height % 32 or width % 32:
             raise ValueError("(H, W) must be multiples of 32")
         self.datapath = datapath
@@ -55,35 +58,52 @@ class KittiDataset:
         self.gt_cache_dir = gt_cache_dir
         if gt_cache_dir:
             os.makedirs(gt_cache_dir, exist_ok=True)
+        # C++ decode+resize (GIL-free, scales across loader threads);
+        # None = auto-detect. PNG falls back to PIL.
+        if use_native is None:
+            use_native = ext == ".jpg" and native.available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.filenames)
 
     # -- host-side IO ------------------------------------------------------
-    def _load_image(self, folder: str, frame_index: int, side: str) -> np.ndarray:
+    def _load_image(self, folder: str, frame_index: int, side: str,
+                    flip: bool) -> np.ndarray:
         path = kitti.image_path(self.datapath, folder, frame_index, side, self.ext)
+        if self.use_native:
+            return native.decode_resize(path, self.height, self.width, flip)
         with open(path, "rb") as f:
             with Image.open(f) as img:
                 img = img.convert("RGB")
                 if img.size != (self.width, self.height):
                     # reference uses Image.ANTIALIAS (= Lanczos), kitti_mono.py:275
                     img = img.resize((self.width, self.height), Image.LANCZOS)
-                return np.asarray(img, dtype=np.uint8)
+                arr = np.asarray(img, dtype=np.uint8)
+        return arr[:, ::-1] if flip else arr
 
     def _load_depth(self, folder: str, frame_index: int, side: str) -> np.ndarray:
+        cache = None
         if self.gt_cache_dir:
             key = hashlib.md5(
                 f"{folder}|{frame_index}|{side}".encode()).hexdigest()
             cache = os.path.join(self.gt_cache_dir, key + ".npy")
             if os.path.exists(cache):
-                return np.load(cache)
+                try:
+                    return np.load(cache)
+                except (EOFError, ValueError, OSError):
+                    pass  # concurrent writer: fall through and recompute
         depth = kitti.velodyne_to_depth(
             kitti.calib_dir(self.datapath, folder),
             kitti.velodyne_path(self.datapath, folder, frame_index),
             cam=kitti.SIDE_MAP[side])
         depth = kitti.resize_nearest_np(depth, kitti.GT_HEIGHT, kitti.GT_WIDTH)
-        if self.gt_cache_dir:
-            np.save(cache, depth)
+        if cache:
+            # atomic publish: loader threads race on the same sample
+            # np.save appends ".npy" unless the name already ends with it
+            tmp = f"{cache}.{os.getpid()}.{threading.get_ident()}.tmp.npy"
+            np.save(tmp, depth)
+            os.replace(tmp, cache)
         return depth
 
     # -- sample assembly ----------------------------------------------------
@@ -95,11 +115,10 @@ class KittiDataset:
         frames = []
         for fid in self.frame_ids:
             if fid == "s":
-                img = self._load_image(folder, key_frame, kitti.OTHER_SIDE[side])
+                img = self._load_image(folder, key_frame,
+                                       kitti.OTHER_SIDE[side], do_flip)
             else:
-                img = self._load_image(folder, key_frame + fid, side)
-            if do_flip:
-                img = img[:, ::-1]
+                img = self._load_image(folder, key_frame + fid, side, do_flip)
             frames.append(img)
 
         out: Dict[str, np.ndarray] = {

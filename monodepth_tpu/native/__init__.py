@@ -1,0 +1,85 @@
+"""Native (C++) host-pipeline bindings via ctypes.
+
+Builds `libmdt_host.so` from host_pipeline.cc on first use (g++ -O3,
+links system libjpeg) and exposes `decode_resize(path, h, w, flip)`.
+ctypes releases the GIL for the duration of the call, so the Python
+loader's thread pool scales decode across host cores — the role the
+reference delegated to 12 forked DataLoader workers
+(reference: model_tool/loader.py:60-61).
+
+If the toolchain or libjpeg is unavailable the import still succeeds and
+`available()` returns False; the dataset falls back to PIL.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "host_pipeline.cc")
+_LIB = os.path.join(_DIR, "libmdt_host.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           _SRC, "-o", _LIB + ".tmp", "-ljpeg"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
+            FileNotFoundError) as e:
+        stderr = getattr(e, "stderr", b"")
+        print(f">>> native host pipeline build failed ({e}); "
+              f"falling back to PIL. {stderr[:500]!r}")
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB) or (
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        lib = ctypes.CDLL(_LIB)
+        lib.mdt_decode_resize.restype = ctypes.c_int
+        lib.mdt_decode_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_resize(path: str, height: int, width: int,
+                  flip: bool = False) -> np.ndarray:
+    """JPEG file -> [height, width, 3] uint8 RGB (Lanczos, optional
+    horizontal flip). Raises RuntimeError on decode failure."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native host pipeline unavailable")
+    with open(path, "rb") as f:
+        data = f.read()
+    out = np.empty((height, width, 3), dtype=np.uint8)
+    rc = lib.mdt_decode_resize(
+        data, len(data), height, width, int(flip),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError(f"jpeg decode failed: {path}")
+    return out
