@@ -1,0 +1,59 @@
+"""tools/convert_torch_weights.py end-to-end: torch .pth -> npz -> model."""
+
+import os
+import sys
+
+import numpy as np
+import torch
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.convert_torch_weights import convert_imagenet, convert_monodepth2
+from tests.test_models import _torch_resnet
+
+
+def test_imagenet_roundtrip(tmp_path):
+    tmodel = _torch_resnet(18)
+    src = str(tmp_path / "resnet18.pth")
+    torch.save(tmodel.state_dict(), src)
+
+    out = convert_imagenet(src, str(tmp_path / "pretrained"), 18)
+    assert os.path.basename(out) == "resnet18.npz"
+
+    # consumed by the trainer's --weight_init path
+    from monodepth_tpu.config import Config
+    from monodepth_tpu.training.loop import load_pretrained
+    from monodepth_tpu.training.state import build_model, create_state, make_optimizer
+
+    cfg = Config(height=64, width=96, precision="f32", scales=(0, 1),
+                 weight_init=True, pretrained_dir=str(tmp_path / "pretrained"),
+                 use_pallas=False)
+    pre = load_pretrained(cfg)
+    assert set(pre) == {"encoder", "pose_encoder"}
+    # pose conv1 tiled to 6 input channels and averaged
+    assert pre["pose_encoder"]["params"]["conv1"]["kernel"].shape[2] == 6
+
+    model = build_model(cfg)
+    state = create_state(cfg, model, make_optimizer(cfg, 1), pretrained=pre)
+    got = np.asarray(state.params["encoder"]["conv1"]["kernel"])
+    want = tmodel.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_monodepth2_reference_layout(tmp_path):
+    """Reference trainer export names (encoder<N>.pt etc,
+    model_tool/logger.py:60-66) convert into an eval-ready module set."""
+    src = tmp_path / "torch_ckpt"
+    src.mkdir()
+    tmodel = _torch_resnet(18)
+    torch.save(tmodel.state_dict(), str(src / "encoder21.pt"))
+
+    written = convert_monodepth2(str(src), str(tmp_path / "npz"), 21, 18)
+    assert [os.path.basename(w) for w in written] == ["encoder21.npz"]
+
+
+def test_monodepth2_missing_dir_empty(tmp_path):
+    src = tmp_path / "empty"
+    src.mkdir()
+    assert convert_monodepth2(str(src), str(tmp_path / "o"), 0, 18) == []
