@@ -57,3 +57,13 @@ def test_monodepth2_missing_dir_empty(tmp_path):
     src = tmp_path / "empty"
     src.mkdir()
     assert convert_monodepth2(str(src), str(tmp_path / "o"), 0, 18) == []
+
+
+def test_colormap_disparity_shapes():
+    from monodepth_tpu.utils.visualize import colormap_disparity, side_by_side
+
+    disp = np.abs(np.random.default_rng(0).normal(size=(8, 12))).astype(np.float32)
+    vis = colormap_disparity(disp)
+    assert vis.shape == (8, 12, 3) and vis.dtype == np.uint8
+    img = np.zeros((8, 12, 3), np.uint8)
+    assert side_by_side(img, disp).shape == (16, 12, 3)
