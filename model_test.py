@@ -34,28 +34,33 @@ def main():
     p.add_argument("--num_layers", default=18, type=int)
     p.add_argument("--height", default=192, type=int)
     p.add_argument("--width", default=640, type=int)
-    p.add_argument("--scales", default=(0, 1, 2, 3),
+    p.add_argument("--scales", default=None,
                    type=lambda t: tuple(int(x) for x in t.replace(",", " ").split()),
-                   help="must match the scales the checkpoint was trained with")
+                   help="training scales of the checkpoint; default: "
+                        "auto-detected from the decoder export")
     p.add_argument("--eval_batch", default=16, type=int)
     p.add_argument("--weights", nargs="+", required=True,
                    help="<dir>:<epoch> per weight set")
     args = p.parse_args()
 
-    cfg = Config(datapath=args.datapath, splits=args.splits,
-                 datatype=args.datatype, num_layers=args.num_layers,
-                 height=args.height, width=args.width, scales=args.scales,
-                 weight_init=False)
-
     import os
+
+    from monodepth_tpu.evaluation.eigen import detect_scales
+
     lines = kitti.readlines(os.path.join(
-        cfg.splits, cfg.datatype, "test_files.txt"))
+        args.splits, args.datatype, "test_files.txt"))
     print(f">>> Testset length {len(lines)}")
-    ground_truths = load_ground_truth(cfg.datapath, lines)
+    ground_truths = load_ground_truth(args.datapath, lines)
     print(">>> Loaded ground truth depth")
 
     for spec in args.weights:
         directory, _, epoch = spec.rpartition(":")
+        scales = (args.scales or detect_scales(directory, int(epoch))
+                  or (0, 1, 2, 3))
+        cfg = Config(datapath=args.datapath, splits=args.splits,
+                     datatype=args.datatype, num_layers=args.num_layers,
+                     height=args.height, width=args.width, scales=scales,
+                     weight_init=False)
         state = state_from_modules(cfg, directory, int(epoch))
         metrics = evaluate(cfg, state, lines, ground_truths,
                            eval_batch=args.eval_batch)

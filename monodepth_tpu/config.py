@@ -61,6 +61,7 @@ class Config:
     profile_dir: str = ""                # non-empty -> jax.profiler traces
     save_root: str = "./model_save"
     use_pallas: bool = True              # use Pallas kernels where available
+    remat: bool = False                  # rematerialize encoder blocks (high-res memory)
     sync_bn: bool = True                 # batch-norm stats over the global batch (see training/)
 
     @property
@@ -157,6 +158,7 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--profile_dir", default=d.profile_dir, type=str)
     p.add_argument("--save_root", default=d.save_root, type=str)
     p.add_argument("--use_pallas", default=d.use_pallas, type=_parse_bool)
+    p.add_argument("--remat", default=d.remat, type=_parse_bool)
     p.add_argument("--sync_bn", default=d.sync_bn, type=_parse_bool)
     args = p.parse_args(argv)
     return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)}).validate()

@@ -139,6 +139,17 @@ def evaluate(cfg: Config, state: TrainState,
     return eigen_metrics(disps, ground_truths, cfg.datatype)
 
 
+def detect_scales(weights_dir: str, epoch: int) -> tuple[int, ...] | None:
+    """Infer the training scales from a decoder npz export (its
+    `dispconv_<s>` heads). Returns None if no decoder file exists."""
+    path = os.path.join(weights_dir, f"decoder{epoch}.npz")
+    if not os.path.exists(path):
+        return None
+    tree = load_npz(path)["params"]
+    return tuple(sorted(int(k.rsplit("_", 1)[1]) for k in tree
+                        if k.startswith("dispconv_")))
+
+
 def state_from_modules(cfg: Config, weights_dir: str,
                        epoch: int) -> TrainState:
     """Assemble an eval-only TrainState from per-module npz exports

@@ -42,6 +42,7 @@ class Monodepth(nn.Module):
     pose_frames: Union[int, str] = 2
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
+    remat: bool = False
 
     @property
     def temporal_ids(self) -> Tuple[int, ...]:
@@ -57,7 +58,7 @@ class Monodepth(nn.Module):
 
     def setup(self):
         self.encoder = ResNetEncoder(self.num_layers, 1, self.dtype,
-                                     self.bn_axis_name)
+                                     self.bn_axis_name, self.remat)
         self.decoder = DepthDecoder(self.scales, dtype=self.dtype)
         if self.pose_type == "posecnn":
             self.pose_decoder = PoseCNN(self.num_pose_frames, self.dtype)
@@ -67,7 +68,8 @@ class Monodepth(nn.Module):
         elif self.pose_type == "separate":
             self.pose_encoder = ResNetEncoder(self.num_layers,
                                               self.num_pose_frames,
-                                              self.dtype, self.bn_axis_name)
+                                              self.dtype, self.bn_axis_name,
+                                              self.remat)
             # reference always predicts 2 frames here (loader.py:85-86)
             self.pose_decoder = PoseDecoder(1, 2, dtype=self.dtype)
         else:

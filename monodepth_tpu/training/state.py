@@ -60,6 +60,7 @@ def build_model(cfg: Config) -> Monodepth:
         pose_type=cfg.pose_type,
         pose_frames=cfg.pose_frames,
         dtype=dtype,
+        remat=cfg.remat,
     )
 
 

@@ -155,3 +155,39 @@ def test_bn_stats_update_only_in_train(setup):
     after = jax.tree.leaves(state2.batch_stats)
     assert any(float(jnp.abs(a - b).max()) > 0
                for a, b in zip(before, after))
+
+
+@pytest.mark.parametrize("pose_type", ["separate", "posecnn"])
+def test_pose_frames_all(pose_type):
+    """`--pose_frames all`: one joint pose pass over every temporal frame
+    (reference: processor.py:116-135), no inversion at warp time."""
+    cfg = Config(height=64, width=96, batch=2, precision="f32",
+                 scales=(0, 1), weight_init=False, use_pallas=False,
+                 pose_type=pose_type, pose_frames="all")
+    model = build_model(cfg)
+    assert model.num_pose_frames == 3
+    assert not model.invert_for_frame(-1)
+    tx = make_optimizer(cfg, 10)
+    state = create_state(cfg, model, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+    _, metrics = step(state, make_batch(cfg, batch=2, with_gt=False))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_matches_no_remat():
+    """Remat changes memory, not math: losses agree to float tolerance."""
+    results = {}
+    for remat in (False, True):
+        cfg = Config(height=64, width=96, batch=2, precision="f32",
+                     scales=(0, 1), weight_init=False, use_pallas=False,
+                     remat=remat)
+        model = build_model(cfg)
+        tx = make_optimizer(cfg, 10)
+        state = create_state(cfg, model, tx)
+        step = make_train_step(model, tx, cfg, donate=False)
+        state2, metrics = step(state, make_batch(cfg, batch=2))
+        results[remat] = (float(metrics["loss"]),
+                          np.asarray(jax.tree.leaves(state2.params)[0]))
+    assert results[False][0] == pytest.approx(results[True][0], rel=1e-5)
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-4, atol=1e-6)

@@ -39,18 +39,23 @@ def main():
     p.add_argument("--num_layers", default=18, type=int)
     p.add_argument("--height", default=192, type=int)
     p.add_argument("--width", default=640, type=int)
-    p.add_argument("--scales", default=(0, 1, 2, 3),
+    p.add_argument("--scales", default=None,
                    type=lambda t: tuple(int(x) for x in t.replace(",", " ").split()),
-                   help="must match the scales the checkpoint was trained with")
+                   help="training scales of the checkpoint; default: "
+                        "auto-detected from the decoder export")
     p.add_argument("--min_depth", default=0.1, type=float)
     p.add_argument("--max_depth", default=100.0, type=float)
     args = p.parse_args()
 
+    from monodepth_tpu.evaluation.eigen import detect_scales
+
+    directory, _, epoch = args.weights.rpartition(":")
+    scales = (args.scales or detect_scales(directory, int(epoch))
+              or (0, 1, 2, 3))
     cfg = Config(num_layers=args.num_layers, height=args.height,
-                 width=args.width, scales=args.scales,
+                 width=args.width, scales=scales,
                  min_depth=args.min_depth, max_depth=args.max_depth,
                  weight_init=False)
-    directory, _, epoch = args.weights.rpartition(":")
     state = state_from_modules(cfg, directory, int(epoch))
     model = build_model(cfg)
     infer = make_infer_step(model, cfg)
