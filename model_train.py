@@ -11,7 +11,9 @@ from monodepth_tpu.utils.platform import apply_env_platform
 apply_env_platform()
 
 from monodepth_tpu.config import options  # noqa: E402
+from monodepth_tpu.parallel import init_distributed  # noqa: E402
 from monodepth_tpu.training import Trainer  # noqa: E402
 
 if __name__ == "__main__":
+    init_distributed()  # multi-host no-op unless a coordinator is set
     Trainer(options()).train()

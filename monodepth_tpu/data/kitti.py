@@ -39,6 +39,21 @@ def readlines(path: str) -> list[str]:
         return f.read().splitlines()
 
 
+def savelines(lines, path: str) -> None:
+    """Write a split list (reference: model_utility.py:26-31)."""
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def removelines(path: str, predicate) -> list[str]:
+    """Drop lines matching `predicate` from a split file in place and
+    return the kept lines (generalizes the reference's hard-coded
+    frame-range filter, model_utility.py:34-55)."""
+    kept = [ln for ln in readlines(path) if not predicate(ln)]
+    savelines(kept, path)
+    return kept
+
+
 def read_calib_file(path: str) -> Dict[str, np.ndarray]:
     """Parse a KITTI calibration txt into {key: float array} (string values
     that fail to parse are kept as-is)."""

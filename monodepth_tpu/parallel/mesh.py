@@ -33,6 +33,28 @@ AXES = ("data", "spatial")
 _SPATIAL_KEYS = {"frames": 2}
 
 
+def init_distributed() -> bool:
+    """Multi-host bring-up: call `jax.distributed.initialize` when the
+    environment indicates a multi-process job (TPU pod slices set
+    coordinator variables; explicit JAX_COORDINATOR_ADDRESS also works).
+    Single-host runs are a no-op. Returns True if initialized.
+
+    This is the TPU-native stand-in for the communication-backend setup
+    the reference never had (SURVEY.md §2.7, §5.8): afterwards
+    `jax.devices()` spans the whole slice and the same mesh/sharding
+    code scales across hosts with collectives over ICI/DCN.
+    """
+    import os
+
+    multiproc = any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    if not multiproc:
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def make_mesh(data: int = 0, spatial: int = 1, devices=None) -> Mesh:
     """Build a ("data", "spatial") mesh. data=0 means "all remaining
     devices"; adjacent mesh coordinates map to ICI neighbors by using the

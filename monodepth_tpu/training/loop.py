@@ -203,8 +203,24 @@ class Trainer:
 
     def train(self):
         """Full run: epochs x (train pass + valid pass) + checkpoints
-        (reference: model_train.py:54-88)."""
+        (reference: model_train.py:54-88). SIGTERM/SIGINT (preemption)
+        triggers a checkpoint at the end of the current epoch."""
+        import signal
+
         cfg = self.cfg
+        stop = {"now": False}
+
+        def _handler(signum, frame):
+            print(f">>> signal {signum}: will checkpoint and stop "
+                  f"after this epoch")
+            stop["now"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _handler)
+            except ValueError:  # non-main thread
+                pass
         print(f">>> devices: {self.mesh.devices.size} "
               f"(mesh {dict(self.mesh.shape)})")
         print(f">>> train iters/epoch {len(self.train_loader)}, "
@@ -225,9 +241,15 @@ class Trainer:
             self._print(epoch, train_log, valid_log)
 
             if (epoch + 1) % max(cfg.ckpt_every, 1) == 0 \
-                    or epoch == cfg.epoch - 1:
+                    or epoch == cfg.epoch - 1 or stop["now"]:
                 self.checkpointer.save(epoch, self.state)
                 self.checkpointer.export_modules(epoch, self.state)
+            if stop["now"]:
+                print(f">>> stopped after epoch {epoch + 1}; resume with "
+                      f"--resume true")
+                break
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
         self._save_curves()
         self.train_loader.close()
         self.valid_loader.close()

@@ -169,3 +169,24 @@ def test_hue_shift_matches_pil(rng):
         jnp.asarray(img[None].astype(np.float32) / 255.0),
         jnp.asarray([[1, 1.0, 1.0, 1.0, delta]]))
     np.testing.assert_allclose(np.asarray(out)[0], expected, atol=0.05)
+
+
+def test_savelines_removelines(tmp_path):
+    from monodepth_tpu.data.kitti import readlines, removelines, savelines
+
+    path = str(tmp_path / "split.txt")
+    lines = ["a 1 l", "a 2 l", "b 1 r"]
+    savelines(lines, path)
+    assert readlines(path) == lines
+    kept = removelines(path, lambda ln: ln.startswith("b"))
+    assert kept == ["a 1 l", "a 2 l"]
+    assert readlines(path) == kept
+
+
+def test_init_distributed_noop_single_host(monkeypatch):
+    from monodepth_tpu.parallel import init_distributed
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    assert init_distributed() is False

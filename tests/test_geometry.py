@@ -116,3 +116,45 @@ def test_translation_only_warp_shifts_grid():
     np.testing.assert_allclose(grid[0, ..., 0], expected_x, atol=1e-4)
     expected_y = ys / (H - 1) * 2 - 1
     np.testing.assert_allclose(grid[0, ..., 1], expected_y, atol=1e-4)
+
+
+def test_full_warp_reconstructs_translated_view(rng):
+    """End-to-end view synthesis on a synthetic scene: a fronto-parallel
+    plane at depth Z seen from a camera translated by tx along +x.
+
+    Derivation (pins the sign conventions of the whole stack): backproject
+    lifts target pixel u to X = Z * K^-1 u; T = translation(tx) moves it
+    to X + tx; projection lands at u + fx*tx/Z. So the warp samples the
+    source at u + d with disparity d = fx*tx/Z, and reproducing the
+    target requires source(v) = target(v - d). This is exactly the
+    geometry the stereo baseline transform relies on
+    (reference: processor.py:147-149, kitti_stereo.py:249-256).
+    """
+    import jax.numpy as jnp
+
+    from monodepth_tpu.ops.geometry import warp_grid
+    from monodepth_tpu.ops.sampling import grid_sample
+
+    H, W = 48, 64
+    Z = 10.0
+    fx = 40.0
+    d = 8  # integer pixel disparity
+    tx = d * Z / fx
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1] = fx, 40.0
+    K[0, 2], K[1, 2] = W / 2, H / 2
+    inv_K = np.linalg.inv(K).astype(np.float32)
+
+    # smooth texture so bilinear sampling error stays tiny
+    coarse = rng.uniform(0, 1, (H // 8, W // 8, 3)).astype(np.float32)
+    target = np.kron(coarse, np.ones((8, 8, 1), np.float32))
+    source = np.roll(target, shift=d, axis=1)  # source(v) = target(v - d)
+
+    depth = jnp.full((1, H, W), Z, jnp.float32)
+    T = jnp.asarray(np.eye(4, dtype=np.float32)).at[0, 3].set(tx)[None]
+    grid = warp_grid(depth, jnp.asarray(inv_K)[None], jnp.asarray(K)[None], T)
+    warped = np.asarray(grid_sample(jnp.asarray(source)[None], grid))[0]
+
+    interior = np.s_[2:-2, 2 : W - d - 2]
+    np.testing.assert_allclose(warped[interior], target[interior], atol=2e-2)
