@@ -16,6 +16,7 @@ drop_last=True)` (model_tool/loader.py:60-61) with a TPU-oriented feed:
 from __future__ import annotations
 
 import collections
+import itertools
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
@@ -70,9 +71,11 @@ class Loader:
         window = self.batch_size * (self.prefetch_batches + 1)
         futures = collections.deque()
         it = iter(order)
-        for idx in order[:window]:
+        # islice consumes from `it`, so the main loop naturally continues
+        # where the priming window stopped (a bare next(it) here raised
+        # StopIteration -> RuntimeError when len(order) <= window)
+        for idx in itertools.islice(it, window):
             futures.append(pool.submit(load, idx))
-            next(it)
 
         batch = []
         for fut in iter(lambda: futures.popleft() if futures else None, None):

@@ -190,3 +190,23 @@ def test_init_distributed_noop_single_host(monkeypatch):
               "MEGASCALE_COORDINATOR_ADDRESS"):
         monkeypatch.delenv(k, raising=False)
     assert init_distributed() is False
+
+
+def test_loader_dataset_equal_to_window(kitti_tree):
+    """Dataset size == prefetch window must not kill the generator
+    (regression: bare next() raised StopIteration under PEP 479)."""
+    root = kitti_tree
+    from monodepth_tpu.data.dataset import KittiDataset
+    from monodepth_tpu.data.pipeline import Loader
+
+    lines = ["2011_09_26/2011_09_26_drive_0001_sync %d l" % i
+             for i in range(1, 5)]  # 4 samples
+    ds = KittiDataset(root, lines, is_training=False, frame_ids=(0,),
+                      height=96, width=96, load_depth=False)
+    # batch 2, prefetch 1 -> window = 4 == len(dataset)
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    prefetch_batches=1)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    assert all(b["frames"].shape[0] == 2 for b in batches)
+    loader.close()
