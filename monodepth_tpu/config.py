@@ -62,7 +62,12 @@ class Config:
     save_root: str = "./model_save"
     use_pallas: bool = True              # use Pallas kernels where available
     remat: bool = False                  # rematerialize encoder blocks (high-res memory)
-    sync_bn: bool = True                 # batch-norm stats over the global batch (see training/)
+    # NOTE on batch norm under data parallelism: BN statistics are always
+    # computed over the GLOBAL batch (sync-BN) — with jit + sharded
+    # batches every batch-axis mean is a global reduction. This matches
+    # the reference exactly: it normalizes over its full batch of 12 on
+    # one GPU (SURVEY.md §7.3 hard part 5), and our global batch equals
+    # the reference batch regardless of how many chips shard it.
 
     @property
     def num_pose_frames(self) -> int:
@@ -159,6 +164,5 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--save_root", default=d.save_root, type=str)
     p.add_argument("--use_pallas", default=d.use_pallas, type=_parse_bool)
     p.add_argument("--remat", default=d.remat, type=_parse_bool)
-    p.add_argument("--sync_bn", default=d.sync_bn, type=_parse_bool)
     args = p.parse_args(argv)
     return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)}).validate()

@@ -76,24 +76,34 @@ def load_ground_truth(datapath: str, lines: Sequence[str]) -> List[np.ndarray]:
 
 def predict_disparities(cfg: Config, state: TrainState,
                         lines: Sequence[str],
-                        eval_batch: int = 16) -> np.ndarray:
-    """Jitted batched depth-only forward -> [N, H, W] scaled disparities."""
+                        eval_batch: int = 16,
+                        num_workers: int = 8) -> np.ndarray:
+    """Jitted batched depth-only forward -> [N, H, W] scaled disparities.
+
+    IO runs through the threaded Loader (native decode, in order, last
+    partial batch padded to keep the jit shape static) so the TPU stays
+    fed during the sweep (BASELINE config 2)."""
+    from monodepth_tpu.data.pipeline import Loader
+
     model = build_model(cfg)
     infer = make_infer_step(model, cfg)
     dataset = KittiDataset(cfg.datapath, lines, is_training=False,
                            frame_ids=(0,), height=cfg.height,
                            width=cfg.width, load_depth=False)
-    rng = np.random.default_rng(0)
+    loader = Loader(dataset, batch_size=eval_batch, shuffle=False,
+                    num_workers=num_workers, drop_last=False)
     disps = []
-    for start in range(0, len(lines), eval_batch):
-        idx = range(start, min(start + eval_batch, len(lines)))
-        frames = np.stack([dataset.sample(i, rng)["frames"][0] for i in idx])
-        pad = eval_batch - len(frames)
-        if pad:  # keep the batch shape static for jit
-            frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
-        images = frames.astype(np.float32) / 255.0
-        out = np.asarray(jax.device_get(infer(state, images)))
-        disps.append(out[: len(idx)])
+    try:
+        for batch in loader.epoch(0):
+            frames = batch["frames"][:, 0]
+            pad = eval_batch - len(frames)
+            if pad:  # keep the batch shape static for jit
+                frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
+            images = frames.astype(np.float32) / 255.0
+            out = np.asarray(jax.device_get(infer(state, images)))
+            disps.append(out[: len(frames) - pad])
+    finally:
+        loader.close()
     return np.concatenate(disps)
 
 

@@ -191,3 +191,20 @@ def test_remat_matches_no_remat():
     assert results[False][0] == pytest.approx(results[True][0], rel=1e-5)
     np.testing.assert_allclose(results[False][1], results[True][1],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_stereo_only_training():
+    """frame_ids (0, "s"): pure-stereo supervision — the fixed baseline
+    transform replaces the pose net entirely (the reference's
+    KITTIStereoDataset scenario, kitti_stereo.py:25-166)."""
+    cfg = Config(height=64, width=96, batch=2, precision="f32",
+                 scales=(0, 1), weight_init=False, use_pallas=False,
+                 dataset="kitti_stereo", frame_ids=(0, "s"))
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, 10)
+    state = create_state(cfg, model, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+    batch = make_batch(cfg, batch=2, stereo=True, with_gt=False)
+    batch["frames"] = batch["frames"][:, :2]
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
