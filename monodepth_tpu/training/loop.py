@@ -148,6 +148,10 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.tx, cfg)
         self.eval_step = make_eval_step(self.model, cfg)
 
+        from monodepth_tpu.utils.platform import enable_compile_cache
+
+        enable_compile_cache(os.path.join(cfg.save_root, ".jax_cache"))
+
         self.save_dir = os.path.join(cfg.save_root, cfg.save)
         self.checkpointer = Checkpointer(self.save_dir)
         self.start_epoch = 0
@@ -239,6 +243,7 @@ class Trainer:
                 for key in LOG_METRICS:
                     self.history[split][key].append(log.get(key, float("nan")))
             self._print(epoch, train_log, valid_log)
+            self._append_jsonl(epoch, train_log, valid_log)
 
             if (epoch + 1) % max(cfg.ckpt_every, 1) == 0 \
                     or epoch == cfg.epoch - 1 or stop["now"]:
@@ -265,6 +270,24 @@ class Trainer:
         print(f"    {'':>6} {header}")
         print(f"    {'train':>6} {row(train_log)}")
         print(f"    {'valid':>6} {row(valid_log)}")
+
+    def _append_jsonl(self, epoch: int, train_log, valid_log):
+        """Machine-readable per-epoch record (metrics.jsonl) alongside the
+        console table and .npy curves."""
+        import json
+        import math
+
+        def clean(log):  # NaN is not valid strict JSON
+            return {k: (None if math.isnan(float(v)) else float(v))
+                    for k, v in log.items()}
+
+        record = {"epoch": epoch, "time": time.time(),
+                  "lr": float(self.cfg.learning_rate
+                              * 0.1 ** (epoch // self.cfg.scheduler_step)),
+                  "train": clean(train_log), "valid": clean(valid_log)}
+        os.makedirs(self.save_dir, exist_ok=True)
+        with open(os.path.join(self.save_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def _save_curves(self):
         loss_dir = os.path.join(self.save_dir, "loss")

@@ -11,6 +11,19 @@ from __future__ import annotations
 import os
 
 
+def enable_compile_cache(directory: str) -> None:
+    """Persistent XLA compile cache — repeated CLI invocations (resume,
+    eval sweeps, hyperparameter retries) skip the multi-minute TPU
+    compile of the train step."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", directory)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def apply_env_platform() -> None:
     platforms = os.environ.get("JAX_PLATFORMS")
     if not platforms:
