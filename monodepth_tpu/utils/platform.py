@@ -18,6 +18,8 @@ def enable_compile_cache(directory: str) -> None:
     import jax
 
     try:
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return  # respect an already-configured cache (e.g. tests)
         jax.config.update("jax_compilation_cache_dir", directory)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:

@@ -28,7 +28,7 @@ def kitti_tree(tmp_path_factory):
 
 
 def make_cfg(root, splits, save_root, **kw):
-    base = dict(datapath=root, splits=splits, height=64, width=96,
+    base = dict(datapath=root, splits=splits, height=32, width=64,
                 scales=(0, 1),
                 batch=2, epoch=1, num_workers=2, precision="f32",
                 weight_init=False, use_pallas=False, save_root=save_root,

@@ -11,7 +11,7 @@ from monodepth_tpu.training.step import make_train_step
 
 from tests.test_training import make_batch
 
-CFG = Config(height=64, width=96, batch=8, precision="f32", scales=(0, 1),
+CFG = Config(height=32, width=64, batch=8, precision="f32", scales=(0, 1),
              weight_init=False, use_pallas=False)
 
 

@@ -19,7 +19,7 @@ from monodepth_tpu.training.step import (
     make_train_step,
 )
 
-CFG = Config(height=64, width=96, batch=4, precision="f32", scales=(0, 1),
+CFG = Config(height=32, width=64, batch=4, precision="f32", scales=(0, 1),
              weight_init=False, use_pallas=False)
 
 
@@ -93,7 +93,7 @@ def test_infer_step_shape(setup):
 
 @pytest.mark.parametrize("pose_type", ["shared", "posecnn"])
 def test_pose_variants_train(pose_type):
-    cfg = Config(height=64, width=96, batch=2, precision="f32",
+    cfg = Config(height=32, width=64, batch=2, precision="f32",
                  scales=(0, 1), weight_init=False, use_pallas=False,
                  pose_type=pose_type)
     model = build_model(cfg)
@@ -105,7 +105,7 @@ def test_pose_variants_train(pose_type):
 
 
 def test_stereo_train_step():
-    cfg = Config(height=64, width=96, batch=2, precision="f32",
+    cfg = Config(height=32, width=64, batch=2, precision="f32",
                  scales=(0, 1), weight_init=False, use_pallas=False,
                  dataset="kitti_stereo", frame_ids=(0, -1, 1, "s"))
     model = build_model(cfg)
@@ -161,7 +161,7 @@ def test_bn_stats_update_only_in_train(setup):
 def test_pose_frames_all(pose_type):
     """`--pose_frames all`: one joint pose pass over every temporal frame
     (reference: processor.py:116-135), no inversion at warp time."""
-    cfg = Config(height=64, width=96, batch=2, precision="f32",
+    cfg = Config(height=32, width=64, batch=2, precision="f32",
                  scales=(0, 1), weight_init=False, use_pallas=False,
                  pose_type=pose_type, pose_frames="all")
     model = build_model(cfg)
@@ -178,7 +178,7 @@ def test_remat_matches_no_remat():
     """Remat changes memory, not math: losses agree to float tolerance."""
     results = {}
     for remat in (False, True):
-        cfg = Config(height=64, width=96, batch=2, precision="f32",
+        cfg = Config(height=32, width=64, batch=2, precision="f32",
                      scales=(0, 1), weight_init=False, use_pallas=False,
                      remat=remat)
         model = build_model(cfg)
@@ -197,7 +197,7 @@ def test_stereo_only_training():
     """frame_ids (0, "s"): pure-stereo supervision — the fixed baseline
     transform replaces the pose net entirely (the reference's
     KITTIStereoDataset scenario, kitti_stereo.py:25-166)."""
-    cfg = Config(height=64, width=96, batch=2, precision="f32",
+    cfg = Config(height=32, width=64, batch=2, precision="f32",
                  scales=(0, 1), weight_init=False, use_pallas=False,
                  dataset="kitti_stereo", frame_ids=(0, "s"))
     model = build_model(cfg)
