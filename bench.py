@@ -32,7 +32,10 @@ def main():
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = create_state(cfg, model, tx)
-    train_step = make_train_step(model, tx, cfg)
+    # donate=False: buffer donation costs ~0.8 ms/call of host-side
+    # bookkeeping, and at 640x192 the non-donated state fits HBM easily;
+    # donation is for memory-tight configs (high-res), not this one.
+    train_step = make_train_step(model, tx, cfg, donate=False)
 
     batches = [_example_batch(cfg, cfg.batch, seed)
                for seed in range(4)]

@@ -145,7 +145,8 @@ class Trainer:
                                   pretrained=load_pretrained(cfg))
         self.state = replicate(self.mesh, self.state)
 
-        self.train_step = make_train_step(self.model, self.tx, cfg)
+        self.train_step = make_train_step(self.model, self.tx, cfg,
+                                          donate=cfg.donate)
         self.eval_step = make_eval_step(self.model, cfg)
 
         from monodepth_tpu.utils.platform import enable_compile_cache
