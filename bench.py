@@ -4,6 +4,12 @@ min-reprojection + automask + smoothness loss (BASELINE.json config 3).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Timing is value-fetch based: the loop threads the train state through N
+steps and then fetches the final loss to the host, which forces real
+completion of the whole chain. (`jax.block_until_ready` is NOT a
+reliable completion barrier for queued work on the tunneled axon
+backend — it can return while steps are still executing; see CLAUDE.md.)
+
 vs_baseline divides by the PyTorch reference's training throughput. The
 reference publishes no throughput numbers (SURVEY.md §6); the official
 Monodepth2 repo (which this reference reimplements 1:1 at the same
@@ -28,29 +34,25 @@ def main():
     from monodepth_tpu.training.state import build_model, create_state, make_optimizer
     from monodepth_tpu.training.step import make_train_step
 
-    cfg = Config(weight_init=False)  # bf16 compute, pallas on where built
+    cfg = Config(weight_init=False)  # bf16 compute
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = create_state(cfg, model, tx)
-    # donate=False: buffer donation costs ~0.8 ms/call of host-side
-    # bookkeeping, and at 640x192 the non-donated state fits HBM easily;
-    # donation is for memory-tight configs (high-res), not this one.
     train_step = make_train_step(model, tx, cfg, donate=False)
 
-    batches = [_example_batch(cfg, cfg.batch, seed)
-               for seed in range(4)]
+    batches = [_example_batch(cfg, cfg.batch, seed) for seed in range(4)]
     batches = [{k: jax.device_put(v) for k, v in b.items()} for b in batches]
 
-    # warmup: compile + 2 steps
+    # warmup: compile + 2 steps, forced to completion by the value fetch
     for i in range(3):
         state, metrics = train_step(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])
 
-    steps = 30
+    steps = 20
     t0 = time.perf_counter()
     for i in range(steps):
         state, metrics = train_step(state, batches[i % len(batches)])
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])  # forces completion of the whole chain
     dt = time.perf_counter() - t0
 
     img_per_sec = steps * cfg.batch / dt

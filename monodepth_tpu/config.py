@@ -62,9 +62,12 @@ class Config:
     save_root: str = "./model_save"
     use_pallas: bool = True              # use Pallas kernels where available
     remat: bool = False                  # rematerialize encoder blocks (high-res memory)
-    donate: bool = False                 # donate state buffers (halves peak param/opt
-                                         # memory; costs ~0.8ms/step host bookkeeping —
-                                         # enable with remat for memory-tight configs)
+    donate: bool = False                 # donate state buffers: halves peak param/opt
+                                         # memory, measured time-neutral on v5e —
+                                         # pair with remat for memory-tight configs
+    steps_per_call: int = 1              # train steps per dispatch (lax.scan over K
+                                         # stacked batches; amortizes host dispatch
+                                         # when the input pipeline can stay ahead)
     # NOTE on batch norm under data parallelism: BN statistics are always
     # computed over the GLOBAL batch (sync-BN) — with jit + sharded
     # batches every batch-axis mean is a global reduction. This matches
@@ -168,5 +171,6 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--use_pallas", default=d.use_pallas, type=_parse_bool)
     p.add_argument("--remat", default=d.remat, type=_parse_bool)
     p.add_argument("--donate", default=d.donate, type=_parse_bool)
+    p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
     args = p.parse_args(argv)
     return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)}).validate()

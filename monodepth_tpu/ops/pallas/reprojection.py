@@ -10,7 +10,9 @@ computes the complete per-pixel error
 
 in ONE pass over VMEM per image: both inputs stream in once, all five
 box filters are shifted adds on the VPU, and only the [H, W] error map
-goes back to HBM — an ~8x cut in HBM traffic for this op.
+goes back to HBM — an ~8x cut in HBM traffic for this op. (In the full
+train/eval steps the end-to-end margin is small because the warp
+gathers dominate both; see training/step.py `_loss_fns` and CLAUDE.md.)
 
 Layout trick: NHWC inputs are viewed as [B, H, W*C] so the lane (minor)
 dimension is W*C = 1920 for 640x3 — perfectly tiled. A horizontal image

@@ -28,13 +28,25 @@ import numpy as np
 Array = jax.Array
 
 
-def grid_sample(image: Array, grid: Array) -> Array:
+def grid_sample(image: Array, grid: Array, method: str = "patch") -> Array:
     """Bilinear sample `image` at `grid`, border padding, align_corners=True.
 
     image: [B, H, W, C]; grid: [B, Ho, Wo, 2] with (x, y) in [-1, 1].
     Returns [B, Ho, Wo, C]. Matches
     `F.grid_sample(img, grid, padding_mode="border", align_corners=True)`
     (reference call site: model_layer/warp.py:12-14, model_tool/processor.py:161).
+
+    TPU note — two exact variants (see CLAUDE.md "gather bottleneck"):
+    - method="patch" (default): ONE `lax.gather` of a 2x2xC patch per
+      pixel — ~3x faster than per-channel gathers on v5e, but XLA pads
+      the [*, 2, 2, C] output ~40x onto (8,128) tiles (7.5 GB at
+      1024x320 b12 — fine at 640x192, OOM at high res).
+    - method="scalar": 4 taps x C channels as scalar gathers with clean
+      [B, Ho, Wo] layouts — no padding blowup, ~3x slower; used by the
+      training step under --remat (high-res).
+    Clamping y0/x0 to size-2 with wy/wx in [0, 1] reproduces border
+    padding exactly: a coordinate at the top border becomes
+    (y0=H-2, wy=1).
     """
     B, H, W, C = image.shape
     dtype = image.dtype
@@ -46,31 +58,50 @@ def grid_sample(image: Array, grid: Array) -> Array:
     x = jnp.clip(x, 0.0, W - 1)
     y = jnp.clip(y, 0.0, H - 1)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
+    # anchor in [0, size-2] so the 2x2 patch is in bounds; weights in [0,1]
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2)
     wx = (x - x0).astype(dtype)[..., None]
     wy = (y - y0).astype(dtype)[..., None]
 
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, W - 1)
-    y1i = jnp.minimum(y0i + 1, H - 1)
+    Ho, Wo = grid.shape[1], grid.shape[2]
+    if method == "patch":
+        starts = jnp.stack([y0.reshape(B, -1), x0.reshape(B, -1)],
+                           axis=-1).astype(jnp.int32)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(2, 3, 4), collapsed_slice_dims=(),
+            start_index_map=(1, 2), operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,))
+        patches = jax.lax.gather(
+            image, starts, dn, slice_sizes=(1, 2, 2, C),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            indices_are_sorted=False, unique_indices=False)
+        patches = patches.reshape(B, Ho, Wo, 2, 2, C)
+        v00, v01 = patches[..., 0, 0, :], patches[..., 0, 1, :]
+        v10, v11 = patches[..., 1, 0, :], patches[..., 1, 1, :]
+    else:  # "scalar"
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(1, 2),
+            start_index_map=(1, 2), operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,))
 
-    flat = image.reshape(B, H * W, C)
+        def take(yi, xi):
+            starts = jnp.stack([yi, xi], axis=-1)
+            chans = [jax.lax.gather(
+                image[..., c], starts, dn, slice_sizes=(1, 1, 1),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                for c in range(C)]
+            return jnp.stack(chans, axis=-1)
 
-    def take(yi, xi):
-        idx = yi * W + xi  # [B, Ho, Wo]
-        return jnp.take_along_axis(
-            flat, idx.reshape(B, -1, 1), axis=1
-        ).reshape(*idx.shape, C)
+        v00 = take(y0i, x0i)
+        v01 = take(y0i, x0i + 1)
+        v10 = take(y0i + 1, x0i)
+        v11 = take(y0i + 1, x0i + 1)
 
-    v00 = take(y0i, x0i)
-    v01 = take(y0i, x1i)
-    v10 = take(y1i, x0i)
-    v11 = take(y1i, x1i)
-
-    top = v00 + (v01 - v00) * wx
-    bot = v10 + (v11 - v10) * wx
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
     return top + (bot - top) * wy
 
 

@@ -72,29 +72,36 @@ def make_mesh(data: int = 0, spatial: int = 1, devices=None) -> Mesh:
     return Mesh(grid, AXES)
 
 
-def batch_sharding(mesh: Mesh, key: str, ndim: int) -> NamedSharding:
+def batch_sharding(mesh: Mesh, key: str, ndim: int,
+                   stacked: bool = False) -> NamedSharding:
     """Sharding for one batch entry: batch dim over "data"; H over
-    "spatial" for image-like tensors."""
+    "spatial" for image-like tensors. stacked=True for [K, B, ...]
+    superbatches (steps_per_call > 1): the leading scan axis stays
+    unsharded and everything shifts by one."""
     spec = [None] * ndim
-    spec[0] = "data"
+    off = 1 if stacked else 0
+    spec[off] = "data"
     axis = _SPATIAL_KEYS.get(key)
     if axis is not None and mesh.shape["spatial"] > 1:
-        spec[axis] = "spatial"
+        spec[axis + off] = "spatial"
     return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray]):
+def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray],
+                stacked: bool = False):
     """device_put a host batch onto the mesh, each entry laid out per
     `batch_sharding`. Returns a dict of global jax.Arrays."""
     return {
-        k: jax.device_put(v, batch_sharding(mesh, k, v.ndim))
+        k: jax.device_put(v, batch_sharding(mesh, k, v.ndim, stacked))
         for k, v in batch.items()
     }
 
 
-def batch_shardings(mesh: Mesh, batch: Dict[str, np.ndarray]):
+def batch_shardings(mesh: Mesh, batch: Dict[str, np.ndarray],
+                    stacked: bool = False):
     """The sharding pytree matching `batch` (for prefetch_to_device)."""
-    return {k: batch_sharding(mesh, k, v.ndim) for k, v in batch.items()}
+    return {k: batch_sharding(mesh, k, v.ndim, stacked)
+            for k, v in batch.items()}
 
 
 def replicate(mesh: Mesh, tree):

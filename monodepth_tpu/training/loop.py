@@ -36,7 +36,11 @@ from monodepth_tpu.training.state import (
     create_state,
     make_optimizer,
 )
-from monodepth_tpu.training.step import make_eval_step, make_train_step
+from monodepth_tpu.training.step import (
+    make_eval_step,
+    make_train_multi_step,
+    make_train_step,
+)
 from monodepth_tpu.utils.serialization import load_npz
 from monodepth_tpu.utils.torch_import import (
     load_torch_file,
@@ -44,6 +48,18 @@ from monodepth_tpu.utils.torch_import import (
 )
 
 LOG_METRICS = ("loss",) + METRIC_NAMES  # reference: logger.py:27
+
+
+def _stack_superbatches(batches, k: int):
+    """Group k consecutive host batches into one [k, B, ...] superbatch
+    for `make_train_multi_step`. A trailing partial group is dropped
+    (same fixed-shape rationale as drop_last)."""
+    group = []
+    for batch in batches:
+        group.append(batch)
+        if len(group) == k:
+            yield {key: np.stack([g[key] for g in group]) for key in group[0]}
+            group = []
 
 
 def load_pretrained(cfg: Config) -> Optional[dict]:
@@ -84,16 +100,21 @@ def load_pretrained(cfg: Config) -> Optional[dict]:
 
 
 class _Meter:
-    """Device-side running sums; one host fetch per flush."""
+    """Device-side running sums; one host fetch per flush. Metric values
+    may be scalars or [K]-stacked (steps_per_call > 1)."""
 
     def __init__(self):
         self.sums: Dict[str, object] = {}
         self.count = 0
 
     def update(self, metrics: Dict[str, object]):
-        for k, v in metrics.items():
-            self.sums[k] = v if k not in self.sums else self.sums[k] + v
-        self.count += 1
+        k = 1
+        for key, v in metrics.items():
+            if getattr(v, "ndim", 0):
+                k = v.shape[0]  # static shape: no device sync
+                v = v.sum()
+            self.sums[key] = v if key not in self.sums else self.sums[key] + v
+        self.count += k
 
     def means(self) -> Dict[str, float]:
         if not self.count:
@@ -145,8 +166,12 @@ class Trainer:
                                   pretrained=load_pretrained(cfg))
         self.state = replicate(self.mesh, self.state)
 
-        self.train_step = make_train_step(self.model, self.tx, cfg,
-                                          donate=cfg.donate)
+        if cfg.steps_per_call > 1:
+            self.train_step = make_train_multi_step(self.model, self.tx,
+                                                    cfg, donate=cfg.donate)
+        else:
+            self.train_step = make_train_step(self.model, self.tx, cfg,
+                                              donate=cfg.donate)
         self.eval_step = make_eval_step(self.model, cfg)
 
         from monodepth_tpu.utils.platform import enable_compile_cache
@@ -176,12 +201,14 @@ class Trainer:
         t0 = time.perf_counter()
         images = 0
 
+        K = cfg.steps_per_call if training else 1
         batches = loader.epoch(epoch)
-        shardings = None
+        if K > 1:
+            batches = _stack_superbatches(batches, K)
         first = next(iter(batches), None)
         if first is None:
             return meter.means()
-        shardings = batch_shardings(self.mesh, first)
+        shardings = batch_shardings(self.mesh, first, stacked=K > 1)
 
         def chain():
             yield first
@@ -194,12 +221,12 @@ class Trainer:
             else:
                 metrics = step_fn(self.state, batch)
             meter.update(metrics)
-            images += cfg.batch
+            images += cfg.batch * K
             if training and cfg.log_every and (step + 1) % cfg.log_every == 0:
                 dt = time.perf_counter() - t0
                 means = meter.means()
-                print(f"    epoch {epoch} step {step + 1}/{len(loader)} "
-                      f"loss {means['loss']:.4f} "
+                print(f"    epoch {epoch} step {(step + 1) * K}/"
+                      f"{len(loader)} loss {means['loss']:.4f} "
                       f"({images / dt:.1f} img/s)")
         jax.block_until_ready(self.state.params if training else meter.sums)
         means = meter.means()

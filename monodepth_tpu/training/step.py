@@ -26,6 +26,7 @@ ICI. Batch-norm therefore behaves as sync-BN over the global batch.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -65,13 +66,13 @@ def _pallas_active(cfg: Config) -> bool:
 def _loss_fns(cfg: Config, train: bool):
     """(reprojection_fn, identity_fn) for monodepth_loss.
 
-    Eval runs the Pallas kernel everywhere: nothing is differentiated
-    and the fused single-pass wins ~20% of eval-step time (measured on
-    v5e: 0.67 -> 0.54 ms at 640x192 b12). Training keeps the jnp path
-    even for the gradient-free identity term: inside the big jitted step
-    XLA fuses the SSIM math into neighboring ops, and the kernel's
-    layout boundaries (planar transpose in/out) cost more than the
-    fusion saves (measured: 2.64 -> 2.95 ms with Pallas identity)."""
+    Eval runs the Pallas kernel everywhere (nothing is differentiated);
+    training keeps the jnp path even for the gradient-free identity
+    term, where XLA's fusion beats the kernel's layout boundaries.
+    Honest value-fetch timing on v5e (see CLAUDE.md): both steps are
+    dominated by the warp gathers, so the kernel is worth ~2% of
+    eval-step time (343 vs 349 ms at 640x192 b12) — kept because the
+    margin grows wherever the gather cost shrinks."""
     if train or not _pallas_active(cfg):
         return None, None
     from monodepth_tpu.ops.pallas import fused_reprojection_error
@@ -121,6 +122,16 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
                 transforms[fid] = transform_from_parameters(
                     aa, t, invert=model.invert_for_frame(fid))
 
+    # The fast "patch" gather's output is tile-padded ~40x by XLA
+    # (7.5 GB at 1024x320 b12 — it cannot even exist once at high res).
+    # Under --remat switch to the padding-free "scalar" gather AND
+    # recompute warps in the backward pass instead of storing them.
+    if cfg.remat:
+        sample = jax.checkpoint(
+            functools.partial(grid_sample, method="scalar"))
+    else:
+        sample = grid_sample
+
     warped: Dict[int, list] = {}
     depth0 = None
     for scale in cfg.scales:
@@ -142,7 +153,7 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
             else:
                 T = transforms[fid]
             grid = warp_grid(depth, inv_K, K, T)
-            warps.append(grid_sample(src, grid))
+            warps.append(sample(src, grid))
         warped[scale] = warps
 
     return {
@@ -171,13 +182,8 @@ def _metrics(loss, aux, out, batch):
     return metrics
 
 
-def make_train_step(model: Monodepth, tx: optax.GradientTransformation,
-                    cfg: Config, donate: bool = True):
-    """Build the jitted train step: (TrainState, batch) -> (TrainState,
-    metrics). With donate=True (production) the state buffers are donated —
-    parameters and optimizer state update in place in HBM; pass False when
-    the caller must keep the pre-step state alive (tests, debugging)."""
-
+def _train_step_body(model: Monodepth, tx: optax.GradientTransformation,
+                     cfg: Config):
     def train_step(state: TrainState, batch: Dict[str, Array]):
         rng = jax.random.fold_in(state.rng, state.step)
 
@@ -196,7 +202,35 @@ def make_train_step(model: Monodepth, tx: optax.GradientTransformation,
                                opt_state=opt_state, rng=state.rng)
         return new_state, _metrics(loss, aux, out, batch)
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(model: Monodepth, tx: optax.GradientTransformation,
+                    cfg: Config, donate: bool = False):
+    """Build the jitted train step: (TrainState, batch) -> (TrainState,
+    metrics). donate=True updates parameters and optimizer state in place
+    in HBM (halves their peak memory, costs ~0.8 ms/call of host-side
+    bookkeeping); leave False when memory is plentiful or the caller must
+    keep the pre-step state alive."""
+    return jax.jit(_train_step_body(model, tx, cfg),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_train_multi_step(model: Monodepth, tx: optax.GradientTransformation,
+                          cfg: Config, donate: bool = False):
+    """K training steps per dispatch via `lax.scan` over stacked batches.
+
+    (TrainState, batches [K, B, ...]) -> (TrainState, metrics of [K]).
+    One jit call runs K optimizer steps back-to-back on device, amortizing
+    the per-call host dispatch (~2.8 ms on a slow host — more than the
+    2.4 ms device step at 640x192 b12). This is the throughput path when
+    the input pipeline can stay ahead (`--steps_per_call`)."""
+    body = _train_step_body(model, tx, cfg)
+
+    def multi_step(state: TrainState, batches: Dict[str, Array]):
+        return jax.lax.scan(body, state, batches)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model: Monodepth, cfg: Config):
