@@ -20,7 +20,7 @@ apply_env_platform()
 
 from monodepth_tpu.config import Config  # noqa: E402
 from monodepth_tpu.data import kitti
-from monodepth_tpu.evaluation import evaluate, load_ground_truth
+from monodepth_tpu.evaluation import load_ground_truth
 from monodepth_tpu.evaluation.eigen import print_table, state_from_modules
 
 
@@ -41,6 +41,8 @@ def main():
     p.add_argument("--eval_batch", default=16, type=int)
     p.add_argument("--weights", nargs="+", required=True,
                    help="<dir>:<epoch> per weight set")
+    p.add_argument("--save_pred_disps", default="", type=str,
+                   help="write predicted disparities [N,H,W] to this .npy")
     args = p.parse_args()
 
     import os
@@ -62,8 +64,20 @@ def main():
                      height=args.height, width=args.width, scales=scales,
                      weight_init=False)
         state = state_from_modules(cfg, directory, int(epoch))
-        metrics = evaluate(cfg, state, lines, ground_truths,
-                           eval_batch=args.eval_batch)
+        from monodepth_tpu.evaluation.eigen import (
+            eigen_metrics,
+            predict_disparities,
+        )
+
+        disps = predict_disparities(cfg, state, lines,
+                                    eval_batch=args.eval_batch)
+        if args.save_pred_disps:
+            import numpy as np
+
+            np.save(args.save_pred_disps, disps)
+            print(f">>> saved predicted disparities to "
+                  f"{args.save_pred_disps} {disps.shape}")
+        metrics = eigen_metrics(disps, ground_truths, cfg.datatype)
         print_table(spec, metrics)
 
 

@@ -67,3 +67,35 @@ def test_colormap_disparity_shapes():
     assert vis.shape == (8, 12, 3) and vis.dtype == np.uint8
     img = np.zeros((8, 12, 3), np.uint8)
     assert side_by_side(img, disp).shape == (16, 12, 3)
+
+
+def test_snippet_ate():
+    from tools.evaluate_poses import snippet_ate
+
+    rng = np.random.default_rng(0)
+    n = 12
+    poses = [np.eye(4)]
+    for _ in range(n - 1):
+        step = np.eye(4)
+        step[:3, 3] = [0.01 * rng.normal(), 0.0, 0.5 + 0.1 * rng.normal()]
+        poses.append(poses[-1] @ step)
+    gt = np.stack(poses).astype(np.float32)
+
+    # exact prediction -> zero error
+    mean, std = snippet_ate(gt, gt)
+    assert mean < 1e-6
+
+    # globally scaled prediction -> still ~zero (scale-aligned protocol)
+    scaled = gt.copy()
+    scaled[:, :3, 3] *= 3.7
+    mean, _ = snippet_ate(scaled, gt)
+    assert mean < 1e-5
+
+    # corrupted prediction -> nonzero
+    bad = gt.copy()
+    bad[:, :3, 3] += rng.normal(0, 0.3, (n, 3))
+    mean, _ = snippet_ate(bad, gt)
+    assert mean > 0.05
+
+    with pytest.raises(ValueError):
+        snippet_ate(gt[:3], gt[:3])
