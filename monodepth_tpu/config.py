@@ -105,6 +105,12 @@ class Config:
             raise ValueError(f"unknown pose_type {self.pose_type!r}")
         if self.dataset not in ("kitti_mono", "kitti_stereo"):
             raise ValueError(f"unknown dataset {self.dataset!r}")
+        if self.steps_per_call < 1:
+            raise ValueError("steps_per_call must be >= 1")
+        if self.data_parallel < 0:
+            raise ValueError("data_parallel must be >= 0 (0 = all devices)")
+        if self.precision not in ("bf16", "f32"):
+            raise ValueError(f"unknown precision {self.precision!r}")
         return self
 
 

@@ -3,7 +3,8 @@
 One `jax.jit` region per step (vs the reference's eager per-batch Python,
 model_tool/processor.py:16-218 + model_train.py:64-71): XLA fuses the
 device-side augmentation, the multi-scale warp and the loss assembly into
-the conv graph, and the optimizer update runs in-place on donated buffers.
+the conv graph; with `--donate` the optimizer update runs in place on
+donated buffers.
 
 Semantics mirrored from the reference compute graph:
 - depth/pose nets consume `color_aug`; warping samples the *unaugmented*
@@ -51,10 +52,10 @@ Array = jax.Array
 
 def _pallas_active(cfg: Config) -> bool:
     """Pallas fused SSIM+L1 is used when enabled, the shape fits VMEM and
-    we're actually on TPU. grid-sample stays on XLA's native gather: the
-    sampling pattern is data-dependent, which TPU gather units handle
-    directly — a Pallas version would serialize the per-pixel loads
-    (measured: warp+sample is ~5% of the step; see ops/pallas docstring)."""
+    we're actually on TPU. grid-sample stays on XLA's gather — the warp's
+    data-dependent 2D sampling has no exact fast Pallas formulation on
+    current Mosaic (single-vreg dynamic_gather; the analysis trail lives
+    in CLAUDE.md and NEXT.md P0)."""
     if not cfg.use_pallas:
         return False
     from monodepth_tpu.ops.pallas import pallas_supported
@@ -175,7 +176,7 @@ def _loss_from_outputs(out, rng, cfg: Config, train: bool):
         reprojection_fn=reprojection_fn, identity_fn=identity_fn)
 
 
-def _metrics(loss, aux, out, batch):
+def _metrics(loss, out, batch):
     metrics = {"loss": loss}
     if "depth_gt" in batch:
         metrics.update(training_depth_metric(out["depth0"], batch["depth_gt"]))
@@ -200,7 +201,7 @@ def _train_step_body(model: Monodepth, tx: optax.GradientTransformation,
         new_state = TrainState(step=state.step + 1, params=params,
                                batch_stats=out["batch_stats"],
                                opt_state=opt_state, rng=state.rng)
-        return new_state, _metrics(loss, aux, out, batch)
+        return new_state, _metrics(loss, out, batch)
 
     return train_step
 
@@ -243,7 +244,7 @@ def make_eval_step(model: Monodepth, cfg: Config):
                      "batch_stats": state.batch_stats}
         out = apply_and_warp(model, variables, batch, cfg, train=False)
         loss, aux = _loss_from_outputs(out, rng, cfg, train=False)
-        return _metrics(loss, aux, out, batch)
+        return _metrics(loss, out, batch)
 
     return jax.jit(eval_step)
 
