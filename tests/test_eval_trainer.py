@@ -95,3 +95,16 @@ def test_resize_bilinear_np_identity():
     img = np.random.default_rng(0).uniform(size=(8, 12)).astype(np.float32)
     out = resize_bilinear_np(img, 8, 12)
     np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_eigen_metrics_benchmark_datatype():
+    """kitti_benchmark uses gt > 0 masking, no Garg crop
+    (reference: model_test.py:104-105)."""
+    gt = np.zeros((375, 1242), np.float32)
+    gt[5:20, 5:20] = 10.0  # outside the Garg crop rows
+    disp = np.full((375, 1242), 0.1, np.float32)
+    m = eigen_metrics(disp[None], [gt], "kitti_benchmark")
+    assert np.isfinite(m["abs_rel"])
+    # the eigen variant would see zero valid pixels in this region -> nan
+    m2 = eigen_metrics(disp[None], [gt * 0 + (np.indices(gt.shape)[0] > 200) * gt.max()], "kitti_benchmark")
+    assert np.isfinite(m2["rmse"])

@@ -236,3 +236,16 @@ def test_multi_step_matches_k_single_steps(setup):
     # only bound the divergence to a few update magnitudes (lr = 1e-4).
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_resnet50_train_step():
+    """Bottleneck-block encoder (depths >= 50) through the full step."""
+    cfg = Config(height=32, width=64, batch=2, precision="f32",
+                 scales=(0, 1), weight_init=False, use_pallas=False,
+                 num_layers=50)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, 10)
+    state = create_state(cfg, model, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+    _, metrics = step(state, make_batch(cfg, batch=2, with_gt=False))
+    assert np.isfinite(float(metrics["loss"]))
