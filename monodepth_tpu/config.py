@@ -68,6 +68,9 @@ class Config:
     steps_per_call: int = 1              # train steps per dispatch (lax.scan over K
                                          # stacked batches; amortizes host dispatch
                                          # when the input pipeline can stay ahead)
+    cache_frames: bool = False           # cache decoded+resized frames on disk under
+                                         # save_root (epoch >= 2 skips JPEG decode;
+                                         # ~15 GB for the eigen_zhou train set)
     # NOTE on batch norm under data parallelism: BN statistics are always
     # computed over the GLOBAL batch (sync-BN) — with jit + sharded
     # batches every batch-axis mean is a global reduction. This matches
@@ -178,5 +181,6 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--remat", default=d.remat, type=_parse_bool)
     p.add_argument("--donate", default=d.donate, type=_parse_bool)
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
+    p.add_argument("--cache_frames", default=d.cache_frames, type=_parse_bool)
     args = p.parse_args(argv)
     return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)}).validate()

@@ -44,7 +44,8 @@ class KittiDataset:
                  is_training: bool, frame_ids: Sequence[FrameId],
                  height: int = 192, width: int = 640, ext: str = ".jpg",
                  load_depth: bool = True, gt_cache_dir: str | None = None,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None,
+                 frame_cache_dir: str | None = None):
         if height % 32 or width % 32:
             raise ValueError("(H, W) must be multiples of 32")
         self.datapath = datapath
@@ -63,6 +64,12 @@ class KittiDataset:
         if use_native is None:
             use_native = ext == ".jpg" and native.available()
         self.use_native = use_native
+        # optional decoded-frame cache: epoch >= 2 skips JPEG decode +
+        # Lanczos entirely (~440 KB/frame at 640x192; ~15 GB for the
+        # full eigen_zhou train set — a deliberate disk-for-CPU trade)
+        self.frame_cache_dir = frame_cache_dir
+        if frame_cache_dir:
+            os.makedirs(frame_cache_dir, exist_ok=True)
 
     def __len__(self) -> int:
         return len(self.filenames)
@@ -71,6 +78,25 @@ class KittiDataset:
     def _load_image(self, folder: str, frame_index: int, side: str,
                     flip: bool) -> np.ndarray:
         path = kitti.image_path(self.datapath, folder, frame_index, side, self.ext)
+        if self.frame_cache_dir:
+            key = hashlib.md5(
+                f"{folder}|{frame_index}|{side}|{self.height}x{self.width}"
+                .encode()).hexdigest()
+            cache = os.path.join(self.frame_cache_dir, key + ".npy")
+            if os.path.exists(cache):
+                try:
+                    arr = np.load(cache)
+                    return arr[:, ::-1] if flip else arr
+                except (EOFError, ValueError, OSError):
+                    pass  # racing writer: recompute
+            arr = self._decode(path, flip=False)
+            tmp = f"{cache}.{os.getpid()}.{threading.get_ident()}.tmp.npy"
+            np.save(tmp, arr)
+            os.replace(tmp, cache)
+            return arr[:, ::-1] if flip else arr
+        return self._decode(path, flip)
+
+    def _decode(self, path: str, flip: bool) -> np.ndarray:
         if self.use_native:
             return native.decode_resize(path, self.height, self.width, flip)
         with open(path, "rb") as f:

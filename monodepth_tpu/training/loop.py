@@ -145,9 +145,11 @@ class Trainer:
             valid_files = readlines(os.path.join(split_dir, "val_files.txt"))
 
         gt_cache = os.path.join(cfg.save_root, "gt_cache")
+        frame_cache = (os.path.join(cfg.save_root, "frame_cache")
+                       if cfg.cache_frames else None)
         ds_args = dict(datapath=cfg.datapath, frame_ids=cfg.frame_ids,
                        height=cfg.height, width=cfg.width,
-                       gt_cache_dir=gt_cache)
+                       gt_cache_dir=gt_cache, frame_cache_dir=frame_cache)
         self.train_dataset = KittiDataset(filenames=train_files,
                                           is_training=True, **ds_args)
         self.valid_dataset = KittiDataset(filenames=valid_files,

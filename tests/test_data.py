@@ -210,3 +210,30 @@ def test_loader_dataset_equal_to_window(kitti_tree):
     assert len(batches) == 2
     assert all(b["frames"].shape[0] == 2 for b in batches)
     loader.close()
+
+
+def test_frame_cache_roundtrip(kitti_tree, tmp_path):
+    """Cached decode returns identical frames (incl. flip) and survives
+    repeat loads; cache files appear on first access."""
+    root = kitti_tree
+    from monodepth_tpu.data.dataset import KittiDataset
+
+    lines = ["2011_09_26/2011_09_26_drive_0001_sync 1 l"]
+    kw = dict(is_training=True, frame_ids=(0, 1), height=96, width=96,
+              load_depth=False)
+    plain = KittiDataset(root, lines, **kw)
+    cached = KittiDataset(root, lines, frame_cache_dir=str(tmp_path), **kw)
+
+    a = plain.sample(0, np.random.default_rng(3))["frames"]
+    b = cached.sample(0, np.random.default_rng(3))["frames"]  # fills cache
+    c = cached.sample(0, np.random.default_rng(3))["frames"]  # reads cache
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+    import os
+    assert len(os.listdir(tmp_path)) == 2  # two frames cached
+
+    # flipped sample also matches (different rng draws)
+    for seed in range(6):
+        r1, r2 = np.random.default_rng(seed), np.random.default_rng(seed)
+        np.testing.assert_array_equal(plain.sample(0, r1)["frames"],
+                                      cached.sample(0, r2)["frames"])
