@@ -13,7 +13,7 @@ A from-scratch JAX/XLA/Flax/Pallas rebuild of the capabilities of
 - KITTI raw data pipeline (mono / stereo / mono+stereo), velodyne->depth
   ground truth, device-side augmentation                                 -> data/
 - Jitted training step + epoch loop, Orbax checkpoint/resume             -> training/
-- KITTI Eigen evaluation protocol (median scaling, Garg crop)            -> eval/
+- KITTI Eigen evaluation protocol (median scaling, Garg crop)            -> evaluation/
 - Data-parallel scaling over a `jax.sharding.Mesh` (ICI collectives)     -> parallel/
 
 Everything on the compute path is NHWC, statically shaped, and traced
