@@ -119,9 +119,14 @@ class KittiDataset:
                     return np.load(cache)
                 except (EOFError, ValueError, OSError):
                     pass  # concurrent writer: fall through and recompute
+        velo = kitti.velodyne_path(self.datapath, folder, frame_index)
+        if not os.path.exists(velo):
+            # a handful of KITTI frames ship without a scan; the training
+            # metric masks gt == 0, so an empty map degrades gracefully
+            # instead of killing the epoch
+            return np.zeros((kitti.GT_HEIGHT, kitti.GT_WIDTH), np.float32)
         depth = kitti.velodyne_to_depth(
-            kitti.calib_dir(self.datapath, folder),
-            kitti.velodyne_path(self.datapath, folder, frame_index),
+            kitti.calib_dir(self.datapath, folder), velo,
             cam=kitti.SIDE_MAP[side])
         depth = kitti.resize_nearest_np(depth, kitti.GT_HEIGHT, kitti.GT_WIDTH)
         if cache:

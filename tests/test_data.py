@@ -237,3 +237,23 @@ def test_frame_cache_roundtrip(kitti_tree, tmp_path):
         r1, r2 = np.random.default_rng(seed), np.random.default_rng(seed)
         np.testing.assert_array_equal(plain.sample(0, r1)["frames"],
                                       cached.sample(0, r2)["frames"])
+
+
+def test_missing_velodyne_degrades_gracefully(kitti_tree, tmp_path):
+    """A frame without a lidar scan yields an all-zero GT map (masked out
+    by the metrics) instead of crashing the epoch."""
+    import shutil
+
+    root = str(tmp_path / "kitti")
+    shutil.copytree(kitti_tree, root)
+    from monodepth_tpu.data.dataset import KittiDataset
+    from monodepth_tpu.data.synthetic import DRIVE
+    import os
+
+    os.remove(os.path.join(root, DRIVE, "velodyne_points/data",
+                           f"{2:010d}.bin"))
+    ds = KittiDataset(root, [f"{DRIVE} 2 l"], is_training=False,
+                      frame_ids=(0,), height=96, width=96, load_depth=True)
+    sample = ds.sample(0, np.random.default_rng(0))
+    assert sample["depth_gt"].shape == (375, 1242)
+    assert float(sample["depth_gt"].max()) == 0.0
