@@ -28,9 +28,12 @@ def main():
     p = argparse.ArgumentParser(description="KITTI Eigen evaluation")
     p.add_argument("--datapath", default="./dataset/kitti", type=str)
     p.add_argument("--splits", default="./splits", type=str)
+    # kitti_benchmark is train-only: its test_files.txt uses the 2-token
+    # "image N" format with no raw-drive paths to project GT from (the
+    # reference cannot eval it either — model_test.py:47-57 assumes the
+    # 3-token eigen format)
     p.add_argument("--datatype", default="kitti_eigen_zhou", type=str,
-                   choices=["kitti_benchmark", "kitti_eigen_full",
-                            "kitti_eigen_zhou"])
+                   choices=["kitti_eigen_full", "kitti_eigen_zhou"])
     p.add_argument("--num_layers", default=18, type=int)
     p.add_argument("--height", default=192, type=int)
     p.add_argument("--width", default=640, type=int)
@@ -43,6 +46,8 @@ def main():
                    help="<dir>:<epoch> per weight set")
     p.add_argument("--save_pred_disps", default="", type=str,
                    help="write predicted disparities [N,H,W] to this .npy")
+    p.add_argument("--gt_cache", default="./model_save/gt_cache_eval", type=str,
+                   help="cache dir for projected velodyne GT ('' disables)")
     args = p.parse_args()
 
     import os
@@ -52,7 +57,8 @@ def main():
     lines = kitti.readlines(os.path.join(
         args.splits, args.datatype, "test_files.txt"))
     print(f">>> Testset length {len(lines)}")
-    ground_truths = load_ground_truth(args.datapath, lines)
+    ground_truths = load_ground_truth(args.datapath, lines,
+                                      cache_dir=args.gt_cache or None)
     print(">>> Loaded ground truth depth")
 
     for spec in args.weights:

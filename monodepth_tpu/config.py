@@ -61,6 +61,13 @@ class Config:
     profile_dir: str = ""                # non-empty -> jax.profiler traces
     save_root: str = "./model_save"
     use_pallas: bool = True              # use Pallas kernels where available
+    pallas_interpret: bool = False       # run Pallas kernels in interpret mode off-TPU
+                                         # (CPU-mesh dryruns/tests exercise the kernel
+                                         # code path; never set on real hardware)
+    train_gt_metrics: bool = True        # compute the reference's per-step GT depth
+                                         # metric inside the train step (a 5.6M-element
+                                         # median sort per step); False logs loss only
+                                         # during training, full metrics on valid
     remat: bool = False                  # rematerialize encoder blocks (high-res memory)
     donate: bool = False                 # donate state buffers: halves peak param/opt
                                          # memory, measured time-neutral on v5e —
@@ -98,23 +105,28 @@ class Config:
         return len(self.scales)
 
     def validate(self) -> "Config":
-        if self.height % 32 or self.width % 32:
+        cfg = self
+        if cfg.dataset == "kitti_stereo" and "s" not in cfg.frame_ids:
+            # the reference wires the stereo frame automatically when the
+            # stereo dataset is selected (model_tool/loader.py:55-58,
+            # kitti_stereo.py:272-297) — the README stereo command must
+            # work verbatim without an explicit --frame_ids
+            cfg = dataclasses.replace(cfg, frame_ids=cfg.frame_ids + ("s",))
+        if cfg.height % 32 or cfg.width % 32:
             raise ValueError("height/width must be multiples of 32 (reference: kitti_mono.py:264)")
-        if self.frame_ids[0] != 0:
+        if cfg.frame_ids[0] != 0:
             raise ValueError("frame_ids must start with the key frame 0")
-        if self.dataset == "kitti_stereo" and "s" not in self.frame_ids:
-            raise ValueError('kitti_stereo requires "s" in frame_ids (reference: kitti_stereo.py:176)')
-        if self.pose_type not in ("posecnn", "shared", "separate"):
-            raise ValueError(f"unknown pose_type {self.pose_type!r}")
-        if self.dataset not in ("kitti_mono", "kitti_stereo"):
-            raise ValueError(f"unknown dataset {self.dataset!r}")
-        if self.steps_per_call < 1:
+        if cfg.pose_type not in ("posecnn", "shared", "separate"):
+            raise ValueError(f"unknown pose_type {cfg.pose_type!r}")
+        if cfg.dataset not in ("kitti_mono", "kitti_stereo"):
+            raise ValueError(f"unknown dataset {cfg.dataset!r}")
+        if cfg.steps_per_call < 1:
             raise ValueError("steps_per_call must be >= 1")
-        if self.data_parallel < 0:
+        if cfg.data_parallel < 0:
             raise ValueError("data_parallel must be >= 0 (0 = all devices)")
-        if self.precision not in ("bf16", "f32"):
-            raise ValueError(f"unknown precision {self.precision!r}")
-        return self
+        if cfg.precision not in ("bf16", "f32"):
+            raise ValueError(f"unknown precision {cfg.precision!r}")
+        return cfg
 
 
 def _parse_frame_ids(text: str) -> Tuple[FrameId, ...]:
@@ -178,6 +190,8 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--profile_dir", default=d.profile_dir, type=str)
     p.add_argument("--save_root", default=d.save_root, type=str)
     p.add_argument("--use_pallas", default=d.use_pallas, type=_parse_bool)
+    p.add_argument("--pallas_interpret", default=d.pallas_interpret, type=_parse_bool)
+    p.add_argument("--train_gt_metrics", default=d.train_gt_metrics, type=_parse_bool)
     p.add_argument("--remat", default=d.remat, type=_parse_bool)
     p.add_argument("--donate", default=d.donate, type=_parse_bool)
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)

@@ -61,15 +61,40 @@ def resize_bilinear_np(image: np.ndarray, height: int, width: int) -> np.ndarray
     return Rh @ image.astype(np.float64) @ Rw.T
 
 
-def load_ground_truth(datapath: str, lines: Sequence[str]) -> List[np.ndarray]:
-    """Native-size velodyne GT depths, vel_depth=True (model_test.py:47-57)."""
+def load_ground_truth(datapath: str, lines: Sequence[str],
+                      cache_dir: str | None = None) -> List[np.ndarray]:
+    """Native-size velodyne GT depths, vel_depth=True (model_test.py:47-57).
+
+    `cache_dir` persists each projected scan as .npy (atomic publish, same
+    pattern as KittiDataset._load_depth) so repeat eval runs skip the 697
+    velodyne projections. These maps are native-size/vel_depth — a
+    different artifact from the dataset's resized training GT cache."""
+    import hashlib
+
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
     out = []
     for line in lines:
         folder, frame, side = kitti.parse_split_line(line)
+        cache = None
+        if cache_dir:
+            key = hashlib.md5(
+                f"{folder}|{frame}|{side}|native_vel".encode()).hexdigest()
+            cache = os.path.join(cache_dir, key + ".npy")
+            if os.path.exists(cache):
+                try:
+                    out.append(np.load(cache))
+                    continue
+                except (EOFError, ValueError, OSError):
+                    pass  # racing writer: recompute
         depth = kitti.velodyne_to_depth(
             kitti.calib_dir(datapath, folder),
             kitti.velodyne_path(datapath, folder, frame),
             cam=kitti.SIDE_MAP[side], vel_depth=True)
+        if cache:
+            tmp = f"{cache}.{os.getpid()}.tmp.npy"
+            np.save(tmp, depth)
+            os.replace(tmp, cache)
         out.append(depth)
     return out
 

@@ -30,15 +30,18 @@ _tried = False
 
 
 def _build() -> bool:
+    # pid-suffixed temp so concurrent builders never clobber each other
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB + ".tmp", "-ljpeg"]
+           _SRC, "-o", tmp, "-ljpeg"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        os.replace(_LIB + ".tmp", _LIB)
+        os.replace(tmp, _LIB)
         return True
     except (subprocess.CalledProcessError, subprocess.TimeoutExpired,
             FileNotFoundError) as e:
-        stderr = getattr(e, "stderr", b"")
+        # TimeoutExpired carries stderr=None when the process wrote nothing
+        stderr = getattr(e, "stderr", None) or b""
         print(f">>> native host pipeline build failed ({e}); "
               f"falling back to PIL. {stderr[:500]!r}")
         return False

@@ -14,10 +14,12 @@ goes back to HBM — an ~8x cut in HBM traffic for this op. (In the full
 train/eval steps the end-to-end margin is small because the warp
 gathers dominate both; see training/step.py `_loss_fns` and CLAUDE.md.)
 
-Layout trick: NHWC inputs are viewed as [B, H, W*C] so the lane (minor)
-dimension is W*C = 1920 for 640x3 — perfectly tiled. A horizontal image
-shift is then a static lane shift by C; the reflect-pad halo columns are
-static slices. No transpose, no gather.
+Layout: NHWC inputs are transposed to planar [B, C, H, W] and the kernel
+runs on a (B, C) grid — each invocation sees one [H, W] channel plane
+with W on the lane axis, so the 3x3 box filter is six static-slice adds
+(reflect-pad halos are static slices too). Channels are consecutive grid
+steps writing the same [H, W] output block: c == 0 initializes, c > 0
+accumulates the channel mean. No transpose inside the kernel, no gather.
 
 Backward: `jax.custom_vjp` whose bwd re-derives gradients through the
 pure-jnp reference implementation (ops/ssim.py) — numerically identical

@@ -60,8 +60,11 @@ def _pallas_active(cfg: Config) -> bool:
         return False
     from monodepth_tpu.ops.pallas import pallas_supported
 
-    return (jax.default_backend() == "tpu"
-            and pallas_supported(cfg.height, cfg.width))
+    if not pallas_supported(cfg.height, cfg.width):
+        return False
+    # off-TPU the kernel only runs in (slow) interpret mode — opt-in so
+    # CPU-mesh dryruns/tests can still exercise the Pallas code path
+    return jax.default_backend() == "tpu" or cfg.pallas_interpret
 
 
 def _loss_fns(cfg: Config, train: bool):
@@ -78,7 +81,8 @@ def _loss_fns(cfg: Config, train: bool):
         return None, None
     from monodepth_tpu.ops.pallas import fused_reprojection_error
 
-    pallas_fn = lambda p, t: fused_reprojection_error(p, t)  # noqa: E731
+    interpret = jax.default_backend() != "tpu"
+    pallas_fn = lambda p, t: fused_reprojection_error(p, t, interpret)  # noqa: E731
     return pallas_fn, pallas_fn
 
 
@@ -176,9 +180,14 @@ def _loss_from_outputs(out, rng, cfg: Config, train: bool):
         reprojection_fn=reprojection_fn, identity_fn=identity_fn)
 
 
-def _metrics(loss, out, batch):
+def _metrics(loss, out, batch, with_gt: bool = True):
+    """with_gt=False (``--train_gt_metrics false``) skips the reference's
+    per-step GT depth metric — its batch-median needs a sort over
+    B x 375 x 1242 elements (losses/metrics.py), pure overhead in the
+    train step once nothing else dominates. Validation always reports the
+    full table (the reference's console log, model_tool/logger.py:27)."""
     metrics = {"loss": loss}
-    if "depth_gt" in batch:
+    if with_gt and "depth_gt" in batch:
         metrics.update(training_depth_metric(out["depth0"], batch["depth_gt"]))
     return metrics
 
@@ -201,7 +210,8 @@ def _train_step_body(model: Monodepth, tx: optax.GradientTransformation,
         new_state = TrainState(step=state.step + 1, params=params,
                                batch_stats=out["batch_stats"],
                                opt_state=opt_state, rng=state.rng)
-        return new_state, _metrics(loss, out, batch)
+        return new_state, _metrics(loss, out, batch,
+                                   with_gt=cfg.train_gt_metrics)
 
     return train_step
 

@@ -108,3 +108,49 @@ def test_eigen_metrics_benchmark_datatype():
     # the eigen variant would see zero valid pixels in this region -> nan
     m2 = eigen_metrics(disp[None], [gt * 0 + (np.indices(gt.shape)[0] > 200) * gt.max()], "kitti_benchmark")
     assert np.isfinite(m2["rmse"])
+
+
+def test_eval_gt_cache_roundtrip(kitti_tree, tmp_path):
+    """Second load_ground_truth call serves from the .npy cache and
+    matches the fresh projection exactly."""
+    import time
+
+    from monodepth_tpu.data import kitti as K
+    from monodepth_tpu.evaluation.eigen import load_ground_truth
+
+    root, splits = kitti_tree
+    lines = K.readlines(
+        os.path.join(splits, "kitti_eigen_zhou", "test_files.txt"))[:2]
+    cache = str(tmp_path / "gtc")
+    fresh = load_ground_truth(root, lines, cache_dir=cache)
+    entries = [f for f in os.listdir(cache) if f.endswith(".npy")]
+    assert len(entries) == len(lines)
+    mtimes = {f: os.path.getmtime(os.path.join(cache, f)) for f in entries}
+    cached = load_ground_truth(root, lines, cache_dir=cache)
+    for a, b in zip(fresh, cached):
+        np.testing.assert_array_equal(a, b)
+    # cache files were read, not rewritten
+    assert mtimes == {f: os.path.getmtime(os.path.join(cache, f))
+                      for f in entries}
+
+
+def test_stereo_cli_trainer_builds(kitti_tree, tmp_path):
+    """The reference README stereo command shape builds verbatim —
+    no explicit --frame_ids needed (reference: model_tool/loader.py:55-58)."""
+    from monodepth_tpu.config import options
+
+    root, splits = kitti_tree
+    cfg = options(["--dataset", "kitti_stereo", "--datapath", root,
+                   "--splits", splits, "--height", "32", "--width", "64",
+                   "--batch", "2", "--num_workers", "1", "--epoch", "1",
+                   "--weight_init", "false", "--use_pallas", "false",
+                   "--save_root", str(tmp_path)])
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1))
+    try:
+        assert trainer.cfg.frame_ids == (0, -1, 1, "s")
+        batch = next(iter(trainer.train_loader.epoch(0)))
+        assert "stereo_T" in batch
+        assert batch["frames"].shape[1] == 4
+    finally:
+        trainer.train_loader.close()
+        trainer.valid_loader.close()

@@ -249,3 +249,30 @@ def test_resnet50_train_step():
     step = make_train_step(model, tx, cfg, donate=False)
     _, metrics = step(state, make_batch(cfg, batch=2, with_gt=False))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_kitti_stereo_auto_appends_s_frame():
+    """--dataset kitti_stereo must work verbatim: validation auto-wires
+    the "s" frame like the reference loader (model_tool/loader.py:55-58)."""
+    from monodepth_tpu.config import options
+
+    cfg = options(["--dataset", "kitti_stereo"])
+    assert cfg.frame_ids == (0, -1, 1, "s")
+    # library path too, and idempotent when "s" is already present
+    assert "s" in Config(dataset="kitti_stereo").validate().frame_ids
+    explicit = Config(dataset="kitti_stereo", frame_ids=(0, "s")).validate()
+    assert explicit.frame_ids == (0, "s")
+
+
+def test_train_gt_metrics_gate(setup):
+    """--train_gt_metrics false drops the in-step GT median sort: the
+    train step returns loss only (valid keeps the full table)."""
+    import dataclasses
+
+    model, tx, state = setup
+    cfg = dataclasses.replace(CFG, train_gt_metrics=False)
+    step = make_train_step(model, tx, cfg, donate=False)
+    _, metrics = step(state, make_batch())
+    assert set(metrics) == {"loss"}
+    eval_metrics = make_eval_step(model, cfg)(state, make_batch())
+    assert "abs_rel" in eval_metrics

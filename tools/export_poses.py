@@ -59,10 +59,14 @@ def main():
     directory, _, epoch = args.weights.rpartition(":")
     scales = (args.scales or detect_scales(directory, int(epoch))
               or (0, 1, 2, 3))
+    # frame_ids=(0, 1): one pose pair per forward — poses[1] then indexes
+    # the second frame explicitly (the default (0,-1,1) would also run a
+    # discarded poses[-1] forward and rely on index clamping)
     cfg = Config(datapath=args.datapath, splits=args.splits,
                  datatype=args.datatype, num_layers=args.num_layers,
                  height=args.height, width=args.width, scales=scales,
-                 pose_type=args.pose_type, weight_init=False)
+                 pose_type=args.pose_type, weight_init=False,
+                 frame_ids=(0, 1))
     state = state_from_modules(cfg, directory, int(epoch))
     model = build_model(cfg)
 
