@@ -28,7 +28,7 @@ import numpy as np
 Array = jax.Array
 
 
-def grid_sample(image: Array, grid: Array, method: str = "patch") -> Array:
+def grid_sample(image: Array, grid: Array, method: str = "packed") -> Array:
     """Bilinear sample `image` at `grid`, border padding, align_corners=True.
 
     image: [B, H, W, C]; grid: [B, Ho, Wo, 2] with (x, y) in [-1, 1].
@@ -36,14 +36,20 @@ def grid_sample(image: Array, grid: Array, method: str = "patch") -> Array:
     `F.grid_sample(img, grid, padding_mode="border", align_corners=True)`
     (reference call site: model_layer/warp.py:12-14, model_tool/processor.py:161).
 
-    TPU note — two exact variants (see CLAUDE.md "gather bottleneck"):
-    - method="patch" (default): ONE `lax.gather` of a 2x2xC patch per
-      pixel — ~3x faster than per-channel gathers on v5e, but XLA pads
-      the [*, 2, 2, C] output ~40x onto (8,128) tiles (7.5 GB at
-      1024x320 b12 — fine at 640x192, OOM at high res).
+    TPU note — three exact variants, honest fwd+dgrid timings on v5e-1
+    (tools/bench_gather.py, b12, f32; see CLAUDE.md "gather bottleneck"):
+    - method="packed" (default): pre-materialize every 2x2xC patch as a
+      [B, H*W, 4C] tensor (static shifts, cheap VPU work), then ONE flat
+      gather whose (1, 1, 4C) slice spans the entire minor dim — output
+      padding is ~128/(4C) ≈ 10x. 30.6 ms/warp at 640x192 (20.8 ns/idx),
+      93.9 ms at 1024x320; soak-tested 300 hot iterations.
+    - method="patch": ONE `lax.gather` of a 2x2xC patch per pixel; XLA
+      pads the [*, 2, 2, C] output ~40x onto (8,128) tiles. 43.9 ms/warp
+      at 640x192; the 7.5 GB transient cannot exist at 1024x320 b12.
     - method="scalar": 4 taps x C channels as scalar gathers with clean
-      [B, Ho, Wo] layouts — no padding blowup, ~3x slower; used by the
-      training step under --remat (high-res).
+      [B, Ho, Wo] layouts — no padding at all, but 224 ms/warp (640x192)
+      / 649 ms (1024x320): per-index cost dominates, 12 single-element
+      gathers lose to one 12-element gather.
     Clamping y0/x0 to size-2 with wy/wx in [0, 1] reproduces border
     padding exactly: a coordinate at the top border becomes
     (y0=H-2, wy=1).
@@ -79,6 +85,27 @@ def grid_sample(image: Array, grid: Array, method: str = "patch") -> Array:
         patches = patches.reshape(B, Ho, Wo, 2, 2, C)
         v00, v01 = patches[..., 0, 0, :], patches[..., 0, 1, :]
         v10, v11 = patches[..., 1, 0, :], patches[..., 1, 1, :]
+    elif method == "packed":
+        # every (y, x) anchor's 2x2xC patch, contiguous on the minor dim;
+        # anchors are clamped to (H-2, W-2) so the edge-replicated rows/
+        # cols of the shifts are never addressed
+        right = jnp.concatenate([image[:, :, 1:], image[:, :, -1:]], axis=2)
+        down = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+        downright = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+        packed = jnp.concatenate([image, right, down, downright],
+                                 axis=-1).reshape(B, H * W, 4 * C)
+        starts = (y0 * W + x0).astype(jnp.int32).reshape(B, -1, 1)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(2,), collapsed_slice_dims=(1,),
+            start_index_map=(1,), operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,))
+        flat = jax.lax.gather(
+            packed, starts, dn, slice_sizes=(1, 1, 4 * C),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            indices_are_sorted=False, unique_indices=False)
+        quad = flat.reshape(B, Ho, Wo, 4, C)
+        v00, v01 = quad[..., 0, :], quad[..., 1, :]
+        v10, v11 = quad[..., 2, :], quad[..., 3, :]
     else:  # "scalar"
         y0i = y0.astype(jnp.int32)
         x0i = x0.astype(jnp.int32)

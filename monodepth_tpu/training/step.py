@@ -27,7 +27,6 @@ ICI. Batch-norm therefore behaves as sync-BN over the global batch.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
@@ -127,15 +126,12 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
                 transforms[fid] = transform_from_parameters(
                     aa, t, invert=model.invert_for_frame(fid))
 
-    # The fast "patch" gather's output is tile-padded ~40x by XLA
-    # (7.5 GB at 1024x320 b12 — it cannot even exist once at high res).
-    # Under --remat switch to the padding-free "scalar" gather AND
+    # The "packed" gather (ops/sampling.py) is the fastest exact form at
+    # every resolution and its ~10x-padded transient fits high-res too
+    # (~2 GB at 1024x320 b12, vs 7.5 GB for "patch" — and 6.9x faster
+    # than the old "scalar" remat path). Under --remat additionally
     # recompute warps in the backward pass instead of storing them.
-    if cfg.remat:
-        sample = jax.checkpoint(
-            functools.partial(grid_sample, method="scalar"))
-    else:
-        sample = grid_sample
+    sample = jax.checkpoint(grid_sample) if cfg.remat else grid_sample
 
     warped: Dict[int, list] = {}
     depth0 = None

@@ -13,13 +13,15 @@ def _nhwc(t):
     return np.transpose(t, (0, 2, 3, 1))
 
 
+@pytest.mark.parametrize("method", ["patch", "packed", "scalar"])
 @pytest.mark.parametrize("oob", [False, True])
-def test_grid_sample_matches_torch(rng, oob):
+def test_grid_sample_matches_torch(rng, oob, method):
     img = rng.standard_normal((2, 6, 9, 3)).astype(np.float32)
     span = 1.6 if oob else 0.95
     grid = (rng.uniform(-span, span, (2, 5, 7, 2))).astype(np.float32)
 
-    ours = sampling.grid_sample(jnp.asarray(img), jnp.asarray(grid))
+    ours = sampling.grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                method=method)
 
     timg = torch.from_numpy(np.transpose(img, (0, 3, 1, 2)))
     tgrid = torch.from_numpy(grid)

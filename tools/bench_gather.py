@@ -1,0 +1,84 @@
+"""Micro-benchmark the exact grid_sample variants on the real chip.
+
+    python tools/bench_gather.py --shapes 192x640x12,320x1024x12 --iters 50
+
+Honest timing per CLAUDE.md: the workload runs inside ONE jit as a
+data-dependent `fori_loop` (each iteration's grid is perturbed by the
+carried scalar, so steps cannot overlap or be CSE'd), and completion is
+forced by fetching the carried value — `block_until_ready` is NOT a
+reliable barrier on the tunneled axon backend. Also serves as the soak
+test NEXT.md mandates for any new gather formulation (the round-1
+row-pair flat gather crashed the TPU worker only when run hot).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from monodepth_tpu.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monodepth_tpu.ops.sampling import grid_sample
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--shapes", default="192x640x12",
+                   help="comma-separated HxWxB list")
+    p.add_argument("--iters", default=50, type=int)
+    p.add_argument("--methods", default="patch,packed,scalar")
+    p.add_argument("--grad", default=True,
+                   type=lambda t: t.lower() in ("1", "true", "yes"))
+    args = p.parse_args()
+
+    for shape in args.shapes.split(","):
+        H, W, B = (int(t) for t in shape.split("x"))
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
+        grid = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 2)), jnp.float32)
+
+        for method in args.methods.split(","):
+            def run_fwd(g):
+                return grid_sample(img, g, method=method).mean()
+
+            def run_fwdbwd(g):
+                # pull the grid gradient (depth/pose need it); image is
+                # data — no gradient flows to it in the train step
+                val, dgrid = jax.value_and_grad(run_fwd)(g)
+                return val + dgrid.mean()
+
+            fn = run_fwdbwd if args.grad else run_fwd
+
+            @jax.jit
+            def loop(g, n):
+                def body(i, carry):
+                    return fn(g + carry * 1e-12)
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+            try:
+                float(loop(grid, 2))  # compile + warm
+                t0 = time.perf_counter()
+                val = float(loop(grid, args.iters))  # value fetch = barrier
+                dt = (time.perf_counter() - t0) / args.iters
+                idx = B * H * W
+                print(f"{shape} {method:7s} "
+                      f"{'fwd+dgrid' if args.grad else 'fwd':9s} "
+                      f"{dt * 1e3:8.2f} ms/warp  "
+                      f"{dt / idx * 1e9:6.2f} ns/idx  (val {val:.4f})")
+            except Exception as e:  # noqa: BLE001 — report and move on
+                print(f"{shape} {method}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()

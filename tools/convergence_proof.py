@@ -1,0 +1,193 @@
+"""Hermetic convergence proof: train on exact synthetic geometry, assert
+the loss drops and predicted depth rank-correlates with ground truth.
+
+    python tools/convergence_proof.py --steps 600 --out docs/convergence.md
+
+No KITTI data is needed: `make_planar_scenes` renders multi-view scenes
+whose photometric minimum provably sits at the GT (inverse-depth plane,
+affine-exact source views — see data/synthetic.py). This is the
+trainability evidence the reference carries as its shipped 24-epoch
+KITTI curves (model_save/mono/loss/*.npy, README.md:65-74), obtainable
+offline. Depth is only identifiable up to global scale (the usual
+monodepth ambiguity), so the depth check is Spearman rank correlation,
+and the pose check is the tx ratio between predicted and GT translation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from monodepth_tpu.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from monodepth_tpu.config import Config
+    from monodepth_tpu.data.synthetic import make_planar_scenes, spearman_rank
+    from monodepth_tpu.training.state import (
+        build_model,
+        create_state,
+        make_optimizer,
+    )
+    from monodepth_tpu.training.step import make_infer_step, make_train_step
+
+    p = argparse.ArgumentParser(description="hermetic convergence proof")
+    p.add_argument("--mode", default="stereo", choices=["stereo", "mono"],
+                   help="stereo: frame (0,'s') with the GT baseline "
+                        "transform fed as stereo_T — pose is known, depth "
+                        "must emerge through the warp (well-conditioned). "
+                        "mono: (0,-1,1) with the pose net in the loop — "
+                        "the full joint problem, needs several thousand "
+                        "steps from scratch")
+    p.add_argument("--steps", default=600, type=int)
+    p.add_argument("--height", default=96, type=int)
+    p.add_argument("--width", default=320, type=int)
+    p.add_argument("--batch", default=8, type=int)
+    p.add_argument("--scenes", default=32, type=int)
+    p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--out", default="", type=str,
+                   help="write a markdown report here")
+    args = p.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    frame_ids = (0, "s") if args.mode == "stereo" else (0, -1, 1)
+    cfg = Config(height=args.height, width=args.width, batch=args.batch,
+                 learning_rate=args.learning_rate, seed=args.seed,
+                 weight_init=False, use_pallas=False, frame_ids=frame_ids,
+                 precision="bf16" if on_tpu else "f32",
+                 train_gt_metrics=False)
+    print(f">>> backend {jax.default_backend()}, "
+          f"{args.scenes} scenes at {args.height}x{args.width}, "
+          f"batch {args.batch}, {args.steps} steps")
+
+    scenes = make_planar_scenes(args.scenes, args.height, args.width,
+                                seed=args.seed)
+    if args.mode == "stereo":
+        # slot 2 is the +tx view; feed it as the "s" frame with its GT
+        # fixed-baseline transform (the training step consumes stereo_T
+        # verbatim for fid "s", training/step.py)
+        scenes["frames"] = scenes["frames"][:, [0, 2]]
+        stereo_T = np.tile(np.eye(4, dtype=np.float32),
+                           (args.scenes, 1, 1))
+        stereo_T[:, 0, 3] = scenes["gt_tx"]
+        scenes["stereo_T"] = stereo_T
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=max(args.scenes // args.batch, 1))
+    state = create_state(cfg, model, tx)
+    train_step = make_train_step(model, tx, cfg)
+    infer = make_infer_step(model, cfg)
+
+    batch_keys = ("frames", "jitter", "K", "inv_K") + (
+        ("stereo_T",) if args.mode == "stereo" else ())
+
+    def batch_at(order, start):
+        idx = order[start:start + args.batch]
+        return {k: scenes[k][idx] for k in batch_keys}
+
+    def depth_corrs(st):
+        """Per-scene Spearman(pred disparity, gt disparity), interior."""
+        corrs = []
+        for start in range(0, args.scenes, args.batch):
+            images = scenes["frames"][start:start + args.batch, 0]
+            disp = np.asarray(infer(st, images.astype(np.float32) / 255.0))
+            for i in range(disp.shape[0]):
+                n = start + i
+                interior = np.s_[4:-4, 8:-8]
+                corrs.append(spearman_rank(disp[i][interior],
+                                           scenes["gt_disp"][n][interior]))
+        return np.asarray(corrs)
+
+    corr0 = depth_corrs(state)
+    rng = np.random.default_rng(args.seed)
+    losses = []
+    t0 = time.perf_counter()
+    step = 0
+    while step < args.steps:
+        order = rng.permutation(args.scenes)
+        for start in range(0, args.scenes - args.batch + 1, args.batch):
+            if step >= args.steps:
+                break
+            state, metrics = train_step(state, batch_at(order, start))
+            losses.append(float(metrics["loss"]))  # value fetch = barrier
+            step += 1
+            if step % 50 == 0 or step == 1:
+                print(f"    step {step:4d} loss {losses[-1]:.4f}")
+    train_time = time.perf_counter() - t0
+
+    corr1 = depth_corrs(state)
+    bad = [(i, round(float(c), 2), round(float(scenes["gt_tx"][i]), 4))
+           for i, c in enumerate(corr1) if c < 0.5]
+    if bad:
+        print(f"    scenes with corr < 0.5 (idx, corr, gt_tx): {bad}")
+    # collapse diagnostic: a flat disparity field gives corr ~ 0
+    disp = np.asarray(infer(
+        state, scenes["frames"][:args.batch, 0].astype(np.float32) / 255.0))
+    print(f"    pred scaled-disp mean {disp.mean():.3f} "
+          f"per-image std {disp.std(axis=(1, 2)).mean():.4f} "
+          f"(gt plane std {scenes['gt_disp'][:args.batch].std(axis=(1, 2)).mean():.4f})")
+    loss0 = float(np.mean(losses[:10]))
+    loss1 = float(np.mean(losses[-10:]))
+
+    # pass = the loss drops materially AND depth rank-correlation improves
+    # far beyond the untrained baseline (the tint cue gives a random net
+    # ~0.4 already) with no inverted scenes. Measured plateaus (see
+    # docs/convergence_stereo.md): stereo reaches ~0.79 mean / 0.45 min
+    # over 32 scenes — the last few percent are the double-bilinear loss
+    # floor, not a trainability signal.
+    ok_loss = loss1 < 0.5 * loss0
+    ok_corr = (float(corr1.mean()) > 0.75
+               and float(corr1.mean() - corr0.mean()) > 0.25
+               and float(corr1.min()) > 0.0)
+    result = {
+        "mode": args.mode,
+        "steps": args.steps,
+        "resolution": f"{args.height}x{args.width}",
+        "batch": args.batch,
+        "backend": jax.default_backend(),
+        "loss_first10": round(loss0, 4),
+        "loss_last10": round(loss1, 4),
+        "loss_ratio": round(loss1 / loss0, 4),
+        "rank_corr_untrained_mean": round(float(corr0.mean()), 4),
+        "rank_corr_trained_mean": round(float(corr1.mean()), 4),
+        "rank_corr_trained_min": round(float(corr1.min()), 4),
+        "train_seconds": round(train_time, 1),
+        "pass": bool(ok_loss and ok_corr),
+    }
+    print(json.dumps(result))
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(
+                "# Hermetic convergence proof\n\n"
+                "Self-supervised training on exact synthetic geometry "
+                "(`make_planar_scenes`): the photometric minimum sits at "
+                "the GT inverse-depth plane by construction, so loss "
+                "decrease + depth rank-correlation demonstrates the full "
+                "train stack (model -> warp -> min-reprojection/automask "
+                "loss -> Adam) optimizes toward true geometry.\n\n"
+                f"Command: `python tools/convergence_proof.py --steps "
+                f"{args.steps} --height {args.height} --width {args.width} "
+                f"--batch {args.batch} --scenes {args.scenes}`\n\n"
+                "| quantity | value |\n|---|---|\n"
+                + "".join(f"| {k} | {v} |\n" for k, v in result.items())
+                + "\nSpearman is scale-free (monodepth depth is only "
+                "identifiable up to global scale). Untrained correlation "
+                "is the null baseline.\n")
+        print(f">>> wrote {args.out}")
+    sys.exit(0 if result["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
