@@ -64,10 +64,15 @@ class Config:
     pallas_interpret: bool = False       # run Pallas kernels in interpret mode off-TPU
                                          # (CPU-mesh dryruns/tests exercise the kernel
                                          # code path; never set on real hardware)
-    train_gt_metrics: bool = True        # compute the reference's per-step GT depth
-                                         # metric inside the train step (a 5.6M-element
-                                         # median sort per step); False logs loss only
-                                         # during training, full metrics on valid
+    train_gt_metrics: bool = False       # True: compute the reference's per-step GT
+                                         # depth metric inside the train step, exactly
+                                         # as it did (model_tool/logger.py:30-35) — a
+                                         # 5.6M-element median sort costing 27 ms/step
+                                         # (measured, tools/bench_step.py). Default
+                                         # False: train logs loss only; the valid pass
+                                         # reports the full 8-metric table each epoch.
+                                         # The reference paid this only because it
+                                         # synced host<->device per iteration anyway.
     remat: bool = False                  # rematerialize encoder blocks (high-res memory)
     donate: bool = False                 # donate state buffers: halves peak param/opt
                                          # memory, measured time-neutral on v5e —

@@ -20,7 +20,8 @@ from monodepth_tpu.training.step import (
 )
 
 CFG = Config(height=32, width=64, batch=4, precision="f32", scales=(0, 1),
-             weight_init=False, use_pallas=False)
+             weight_init=False, use_pallas=False,
+             train_gt_metrics=True)  # exercise the reference's in-step metric
 
 
 def make_batch(cfg=CFG, batch=None, seed=0, stereo=False, with_gt=True):
