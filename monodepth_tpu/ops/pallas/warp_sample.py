@@ -1,0 +1,238 @@
+"""Pallas TPU kernel: exact bilinear grid-sample for the warp hot path.
+
+The 8 per-step warp `grid_sample`s are THE training bottleneck (~55% of
+the step even with the packed XLA gather, tools/bench_step.py): XLA:TPU
+gather costs ~21 ns per index regardless of form. This kernel replaces
+the per-index gather with VPU candidate-select, exploiting the structure
+of warp displacement fields (reference op: F.grid_sample border/
+align_corners=True, model_layer/warp.py:12-14, processor.py:161):
+
+  vertical   the integer source row for output row r is r + dy with dy
+             varying only as much as the VERTICAL displacement varies
+             inside an 8-row slab — typically 1-3 distinct values. For
+             each candidate dy the 8 source rows are ONE aligned dynamic
+             sublane read of the (row-padded) image; a dynamic
+             `fori_loop` over [dy_min, dy_max+1] adapts the cost to the
+             data (wild early-training depth just runs more iterations —
+             still exact).
+  horizontal within each 128-lane output block, the needed source
+             columns span few 128-aligned chunks; a dynamic fori_loop
+             over [kmin, kmax] reads each chunk (dynamic lane slice of
+             the image ref) and gathers it with single-vreg
+             `take_along_axis` — the one gather form Mosaic supports —
+             selecting in-range lanes. Both x-taps (x0, x0+1) come from
+             the same chunk load.
+
+The kernel also emits the two tap-difference fields
+  gx[c] = dval_c/dwx,  gy[c] = dval_c/dwy
+so the backward pass needs NO second gather: dgrid is a pure jnp
+contraction with the upstream cotangent, chained through the exact
+coordinate-prep VJP (same clamp semantics as ops/sampling.grid_sample).
+
+GRADIENT CAVEAT: the VJP returns ZERO for `image`. In the training step
+sources are data (no parameter dependency), so this is exact there; do
+NOT use this kernel where the sampled image itself requires gradients.
+
+Shapes: H % 8 == 0 and W % 128 == 0 (the training resolutions 640x192 /
+1024x320 qualify); callers fall back to the jnp path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SLAB = 8      # output rows per grid step (f32 sublane tile)
+PAD = 16      # row padding: every aligned 16-row candidate read stays in
+              # bounds (max start = align8(H-1+PAD), end <= H+2*PAD)
+LANES = 128
+
+
+def supported(height: int, width: int) -> bool:
+    return height % SLAB == 0 and width % LANES == 0
+
+
+
+
+def _floor_div(a, b):
+    """Floor division for possibly-negative traced ints (lax // floors
+    already, but keep intent explicit)."""
+    return jax.lax.div(a - jnp.where(a < 0, b - 1, 0), b)
+
+
+def _row_pair_gather(slab, lane_meta):
+    """v0[s,l] = slab[s, idx[s,l]], v1[s,l] = slab[s, idx[s,l]+1] using
+    the hoisted per-output-block metadata from `_lane_meta`. Static
+    per-128-chunk candidate select (the only gather Mosaic lowers is
+    single-vreg take_along_axis); chunks outside the block's index range
+    are skipped via lax.cond."""
+    n_blocks = len(lane_meta)
+    v0s, v1s = [], []
+    for j, (idx_j, kmin, kmax) in enumerate(lane_meta):
+        zero = jnp.zeros((SLAB, LANES), jnp.float32)
+        a0, a1 = zero, zero
+        for k in range(n_blocks):
+            def hit(a0=a0, a1=a1, k=k, idx_j=idx_j):
+                chunk = slab[:, k * LANES:(k + 1) * LANES]
+                l0 = idx_j - k * LANES
+                l1 = l0 + 1
+                g0 = jnp.take_along_axis(
+                    chunk, jnp.clip(l0, 0, LANES - 1), axis=1)
+                g1 = jnp.take_along_axis(
+                    chunk, jnp.clip(l1, 0, LANES - 1), axis=1)
+                return (jnp.where((l0 >= 0) & (l0 < LANES), g0, a0),
+                        jnp.where((l1 >= 0) & (l1 < LANES), g1, a1))
+
+            a0, a1 = jax.lax.cond(
+                (k >= kmin) & (k <= kmax), hit, lambda a0=a0, a1=a1: (a0, a1))
+        v0s.append(a0)
+        v1s.append(a1)
+    return jnp.concatenate(v0s, axis=1), jnp.concatenate(v1s, axis=1)
+
+
+def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
+            out_ref, gx_ref, gy_ref, *, channels, width):
+    from jax.experimental import pallas as pl
+
+    dyb = dy_ref[0]
+    x0b = x0_ref[0]
+    wxb = wx_ref[0]
+    wyb = wy_ref[0]
+    dmin = jnp.min(dyb)
+    dmax = jnp.max(dyb)
+    base = pl.program_id(1) * SLAB + PAD
+    one = jnp.float32(1.0)
+
+    # hoisted per-output-block lane metadata (candidate- and channel-
+    # independent): indices + the chunk range they touch
+    lane_meta = []
+    for j in range(width // LANES):
+        idx_j = x0b[:, j * LANES:(j + 1) * LANES]
+        lane_meta.append((idx_j, jnp.min(idx_j) // LANES,
+                          (jnp.max(idx_j) + 1) // LANES))
+
+    # Candidate vertical offsets c cover [dmin, dmax+1] (the +1 serves
+    # the y0+1 tap). The outer dynamic loop walks ALIGNED 16-row blocks
+    # (one VMEM read per channel per 8 candidates — Mosaic only proves
+    # sublane alignment for multiple-of-8 starts); the static sub-offset
+    # loop slices the 8-row window statically and is skipped entirely
+    # when no pixel matches that offset (dy values inside a slab are
+    # sparse in their range). Channels share all masks and weights.
+    def block_body(o8, carry):
+        start = pl.multiple_of(base + o8 * SLAB, SLAB)
+        block16 = [img_ref[0, ch, pl.ds(start, 2 * SLAB), :]
+                   for ch in range(channels)]
+
+        for t in range(SLAB):
+            c = o8 * SLAB + t
+            m0b = dyb == c         # tap row y0
+            m1b = dyb == c - 1     # tap row y0 + 1
+            needed = jnp.any(m0b | m1b)
+
+            def hit(carry=carry, t=t, m0b=m0b, m1b=m1b, block16=block16):
+                m0 = m0b.astype(jnp.float32)
+                m1 = m1b.astype(jnp.float32)
+                w = m0 * (one - wyb) + m1 * wyb
+                dm = m1 - m0
+                new = list(carry)
+                for ch in range(channels):
+                    out_acc, gx_acc, gy_acc = carry[ch]
+                    v0, v1 = _row_pair_gather(
+                        block16[ch][t:t + SLAB], lane_meta)
+                    diff = v1 - v0
+                    interp = v0 + wxb * diff
+                    new[ch] = (out_acc + w * interp,
+                               gx_acc + w * diff,
+                               gy_acc + dm * interp)
+                return tuple(new)
+
+            carry = jax.lax.cond(needed, hit, lambda carry=carry: carry)
+        return carry
+
+    zero = jnp.zeros((SLAB, width), jnp.float32)
+    init = tuple((zero, zero, zero) for _ in range(channels))
+    final = jax.lax.fori_loop(
+        _floor_div(dmin, SLAB), _floor_div(dmax + 1, SLAB) + 1,
+        block_body, init)
+    for ch in range(channels):
+        out_c, gx_c, gy_c = final[ch]
+        out_ref[0, ch] = out_c
+        gx_ref[0, ch] = gx_c
+        gy_ref[0, ch] = gy_c
+
+
+def _coords(grid, height, width):
+    """Continuous clamped coords + integer anchors + weights — EXACTLY the
+    prep of ops/sampling.grid_sample so the two paths share semantics."""
+    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (width - 1), 0.0, width - 1)
+    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (height - 1), 0.0, height - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, width - 2)
+    y0 = jnp.clip(jnp.floor(y), 0, height - 2)
+    return (x - x0).astype(jnp.float32), (y - y0).astype(jnp.float32), \
+        x0.astype(jnp.int32), y0.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _forward(image, grid, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, H, W, C = image.shape
+    wx, wy, x0, y0 = _coords(grid, H, W)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+    dy = y0 - rows
+
+    img_p = image.astype(jnp.float32).transpose(0, 3, 1, 2)
+    img_pad = jnp.pad(img_p, ((0, 0), (0, 0), (PAD, PAD), (0, 0)))
+
+    spec_img = pl.BlockSpec((1, C, H + 2 * PAD, W), lambda b, s: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_row = pl.BlockSpec((1, SLAB, W), lambda b, s: (b, s, 0),
+                            memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, C, SLAB, W), lambda b, s: (b, 0, s, 0),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((B, C, H, W), jnp.float32)
+
+    out, gx, gy = pl.pallas_call(
+        functools.partial(_kernel, channels=C, width=W),
+        grid=(B, H // SLAB),
+        in_specs=[spec_img, spec_row, spec_row, spec_row, spec_row],
+        out_specs=(spec_out, spec_out, spec_out),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(img_pad, dy, x0, wx, wy)
+    return out.transpose(0, 2, 3, 1), gx, gy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def warp_sample(image, grid, interpret: bool = False):
+    """Drop-in `grid_sample` (border, align_corners=True) as a Pallas
+    kernel. Gradient flows to `grid` only — see module docstring."""
+    out, _, _ = _forward(image, grid, interpret)
+    return out
+
+
+def _fwd(image, grid, interpret):
+    out, gx, gy = _forward(image, grid, interpret)
+    return out, (grid, gx, gy)
+
+
+def _bwd(interpret, res, dout):
+    grid, gx, gy = res
+    H, W = gx.shape[2], gx.shape[3]
+    dout_p = dout.transpose(0, 3, 1, 2)
+    dwx = jnp.sum(dout_p * gx, axis=1)  # [B, H, W]
+    dwy = jnp.sum(dout_p * gy, axis=1)
+
+    def weights(g):
+        wx, wy, _, _ = _coords(g, H, W)
+        return wx, wy
+
+    _, vjp = jax.vjp(weights, grid)
+    (dgrid,) = vjp((dwx, dwy))
+    return jnp.zeros(dout.shape[:3] + (gx.shape[1],), dout.dtype), dgrid
+
+
+warp_sample.defvjp(_fwd, _bwd)

@@ -126,12 +126,25 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
                 transforms[fid] = transform_from_parameters(
                     aa, t, invert=model.invert_for_frame(fid))
 
-    # The "packed" gather (ops/sampling.py) is the fastest exact form at
-    # every resolution and its ~10x-padded transient fits high-res too
-    # (~2 GB at 1024x320 b12, vs 7.5 GB for "patch" — and 6.9x faster
-    # than the old "scalar" remat path). Under --remat additionally
-    # recompute warps in the backward pass instead of storing them.
-    sample = jax.checkpoint(grid_sample) if cfg.remat else grid_sample
+    # Sampler selection (the step's hot op — tools/bench_gather.py):
+    # - Pallas candidate-select warp kernel when available: ~14 ms/warp
+    #   fwd+dgrid at 640x192 b12 on warp-shaped grids vs 44 ms for the
+    #   best XLA gather; cost adapts to the actual displacement field.
+    #   Exact parity incl. dgrid; sources carry no parameter gradient,
+    #   so its zero image-cotangent is exact here (warp_sample docstring).
+    # - jnp "packed" gather otherwise (CPU, odd shapes): fastest exact
+    #   XLA form at every resolution (~10x-padded transient, ~2 GB at
+    #   1024x320 b12). Under --remat recompute warps in the bwd pass.
+    from monodepth_tpu.ops.pallas import warp_sample as _ws
+
+    on_tpu = jax.default_backend() == "tpu"
+    if (cfg.use_pallas and _ws.supported(H, W)
+            and (on_tpu or cfg.pallas_interpret)):
+        def base_sample(img, grd, _interp=not on_tpu):
+            return _ws.warp_sample(img, grd, _interp)
+    else:
+        base_sample = grid_sample
+    sample = jax.checkpoint(base_sample) if cfg.remat else base_sample
 
     warped: Dict[int, list] = {}
     depth0 = None

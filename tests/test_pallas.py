@@ -43,3 +43,58 @@ def test_identical_images_zero_ssim(images):
 def test_supported_shapes():
     assert pallas_supported(192, 640)
     assert not pallas_supported(320, 1024)
+
+
+# ---------------------------------------------------------------------------
+# warp_sample: the Pallas grid-sample kernel (interpret mode on CPU;
+# compiled parity + soak live in tools/bench_gather.py on real TPU)
+
+from monodepth_tpu.ops.pallas.warp_sample import supported, warp_sample
+from monodepth_tpu.ops.sampling import grid_sample
+
+
+def _warp_grid_np(rng, B, H, W, wild_entry=True):
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    dx = 6.0 * np.sin(xs / 17.0 + ys / 23.0)
+    dy = 1.5 * np.cos(ys / 7.0 + xs / 31.0)
+    gx = (xs + dx) / (W - 1) * 2 - 1
+    gy = (ys + dy) / (H - 1) * 2 - 1
+    grid = np.stack([gx, gy], -1)[None].repeat(B, 0).astype(np.float32)
+    if wild_entry:  # one batch entry with arbitrary out-of-bounds coords
+        grid[-1] = rng.uniform(-2.5, 2.5, grid[-1].shape).astype(np.float32)
+    return grid
+
+
+def test_warp_sample_forward_matches_jnp(rng):
+    B, H, W = 2, 16, 256
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    grid = jnp.asarray(_warp_grid_np(rng, B, H, W))
+    ref = grid_sample(img, grid)
+    pal = warp_sample(img, grid, True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=1e-6)
+
+
+def test_warp_sample_dgrid_matches_jnp(rng):
+    B, H, W = 2, 16, 128
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    grid = jnp.asarray(_warp_grid_np(rng, B, H, W))
+    dref = jax.grad(lambda g: (grid_sample(img, g) ** 2).sum())(grid)
+    dpal = jax.grad(lambda g: (warp_sample(img, g, True) ** 2).sum())(grid)
+    scale = float(jnp.abs(dref).max())
+    np.testing.assert_allclose(np.asarray(dpal), np.asarray(dref),
+                               atol=2e-6 * max(scale, 1.0))
+
+
+def test_warp_sample_image_cotangent_is_zero(rng):
+    """Documented contract: no gradient flows to the sampled image."""
+    B, H, W = 1, 8, 128
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    grid = jnp.asarray(_warp_grid_np(rng, B, H, W, wild_entry=False))
+    dimg = jax.grad(lambda im: (warp_sample(im, grid, True) ** 2).sum())(img)
+    assert float(jnp.abs(dimg).max()) == 0.0
+
+
+def test_warp_sample_supported_shapes():
+    assert supported(192, 640) and supported(320, 1024)
+    assert not supported(192, 96)   # width not a lane multiple
+    assert not supported(30, 640)   # height not a slab multiple

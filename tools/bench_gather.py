@@ -39,17 +39,38 @@ def main():
     p.add_argument("--methods", default="patch,packed,scalar")
     p.add_argument("--grad", default=True,
                    type=lambda t: t.lower() in ("1", "true", "yes"))
+    p.add_argument("--grid", default="warp", choices=["warp", "random"],
+                   help="warp: smooth small-displacement field (the real "
+                        "workload distribution); random: uniform [-1,1] "
+                        "coords (adversarial for candidate-select kernels)")
     args = p.parse_args()
 
     for shape in args.shapes.split(","):
         H, W, B = (int(t) for t in shape.split("x"))
         rng = np.random.default_rng(0)
         img = jnp.asarray(rng.uniform(0, 1, (B, H, W, 3)), jnp.float32)
-        grid = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 2)), jnp.float32)
+        if args.grid == "warp":
+            # depth-parallax-shaped field: mostly-horizontal smooth
+            # displacement, a few px vertical — what trained warps emit
+            ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+            dx = 18.0 * np.sin(xs / 37.0) + 10.0 * (ys / H)
+            dyf = 2.5 * np.cos(ys / 11.0 + xs / 53.0)
+            gx = (xs + dx) / (W - 1) * 2 - 1
+            gy = (ys + dyf) / (H - 1) * 2 - 1
+            grid = np.stack([gx, gy], -1)[None].repeat(B, 0).astype(np.float32)
+            grid = jnp.asarray(grid)
+        else:
+            grid = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 2)), jnp.float32)
 
         for method in args.methods.split(","):
-            def run_fwd(g):
-                return grid_sample(img, g, method=method).mean()
+            if method == "pallas":
+                from monodepth_tpu.ops.pallas.warp_sample import warp_sample
+
+                def run_fwd(g):
+                    return warp_sample(img, g).mean()
+            else:
+                def run_fwd(g, method=method):
+                    return grid_sample(img, g, method=method).mean()
 
             def run_fwdbwd(g):
                 # pull the grid gradient (depth/pose need it); image is

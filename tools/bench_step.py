@@ -48,7 +48,10 @@ def main():
     p.add_argument("--steps", default=20, type=int)
     p.add_argument("--remat", default=False,
                    type=lambda t: t.lower() in ("1", "true", "yes"))
-    p.add_argument("--variants", default="full,nogather,nometrics")
+    p.add_argument("--variants", default="full,nopallas,nogather",
+                   help="full (default cfg incl. the Pallas warp on TPU) | "
+                        "nopallas (jnp packed gather) | nogather (fake "
+                        "sampler) | nometrics (adds the GT median sort)")
     args = p.parse_args()
 
     real_grid_sample = step_mod.grid_sample
@@ -66,7 +69,8 @@ def main():
     for variant in args.variants.split(","):
         cfg = Config(height=args.height, width=args.width, batch=args.batch,
                      weight_init=False, remat=args.remat,
-                     train_gt_metrics=(variant != "nometrics"))
+                     use_pallas=(variant not in ("nopallas", "nogather")),
+                     train_gt_metrics=(variant == "nometrics"))
         step_mod.grid_sample = (fake_grid_sample if variant == "nogather"
                                 else real_grid_sample)
         try:
