@@ -33,7 +33,15 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  num_workers: int = 8, seed: int = 0, drop_last: bool = True,
-                 prefetch_batches: int = 2):
+                 prefetch_batches: int = 2, process_index: int | None = None,
+                 process_count: int | None = None):
+        """`batch_size` is always the GLOBAL batch. On a multi-host slice
+        each process constructs the same global permutation (same seed →
+        identical on every host) but loads and yields only its own
+        `batch_size / process_count` slice of every batch; the global
+        array is assembled device-side by `parallel.mesh.put_global`
+        (jax.make_array_from_process_local_data). Defaults read the jax
+        runtime; pass explicit values to simulate a rank in tests."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,6 +49,15 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch_batches = max(1, prefetch_batches)
+        if process_count is None:
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        if batch_size % process_count:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{process_count} processes")
+        self.process_index = process_index or 0
+        self.process_count = process_count
+        self.local_batch = batch_size // process_count
         self._pool: Optional[ThreadPoolExecutor] = None
 
     def __len__(self) -> int:
@@ -54,7 +71,8 @@ class Loader:
         return self._pool
 
     def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield numpy batches for one epoch."""
+        """Yield numpy batches for one epoch (this process's slice of
+        each global batch; == the global batch when single-process)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -62,13 +80,27 @@ class Loader:
         if self.drop_last:
             order = order[: (n // self.batch_size) * self.batch_size]
 
+        if self.process_count > 1:
+            # keep only this host's CONTIGUOUS slice of every batch (the
+            # device-order convention make_array_from_process_local_data
+            # assembles by); the per-(seed, epoch, GLOBAL index) sample
+            # RNG keeps augmentation identical to the single-host run
+            if not self.drop_last:
+                raise ValueError("multi-process loading requires drop_last "
+                                 "(a partial global batch cannot shard "
+                                 "evenly across hosts)")
+            steps = len(order) // self.batch_size
+            order = (order[: steps * self.batch_size]
+                     .reshape(steps, self.process_count, self.local_batch)
+                     [:, self.process_index].reshape(-1))
+
         pool = self._ensure_pool()
 
         def load(index: int):
             rng = np.random.default_rng((self.seed, epoch, int(index)))
             return self.dataset.sample(int(index), rng)
 
-        window = self.batch_size * (self.prefetch_batches + 1)
+        window = self.local_batch * (self.prefetch_batches + 1)
         futures = collections.deque()
         it = iter(order)
         # islice consumes from `it`, so the main loop naturally continues
@@ -83,7 +115,7 @@ class Loader:
             nxt = next(it, None)
             if nxt is not None:
                 futures.append(pool.submit(load, nxt))
-            if len(batch) == self.batch_size:
+            if len(batch) == self.local_batch:
                 yield _collate(batch)
                 batch = []
         if batch and not self.drop_last:
@@ -96,15 +128,20 @@ class Loader:
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
-    """Stage `size` batches ahead on device. With a NamedSharding, batches
-    land pre-sharded across the mesh's data axis (host->HBM copies overlap
-    the running step because jax dispatch is async)."""
+    """Stage `size` batches ahead on device. With a NamedSharding pytree,
+    batches land pre-sharded across the mesh's data axis (host->HBM
+    copies overlap the running step because jax dispatch is async); on a
+    multi-host slice each process contributes only its local slice
+    (parallel.mesh.put_global)."""
     queue = collections.deque()
 
     def put(batch):
-        if sharding is not None:
-            return jax.device_put(batch, sharding)
-        return jax.device_put(batch)
+        if sharding is None:
+            return jax.device_put(batch)
+        if jax.process_count() > 1:
+            return {k: jax.make_array_from_process_local_data(sharding[k], v)
+                    for k, v in batch.items()}
+        return jax.device_put(batch, sharding)
 
     for batch in iterator:
         queue.append(put(batch))

@@ -202,7 +202,14 @@ def state_from_modules(cfg: Config, weights_dir: str,
     for name in params:
         path = os.path.join(weights_dir, f"{name}{epoch}.npz")
         if not os.path.exists(path):
-            raise FileNotFoundError(path)
+            # depth-only eval needs encoder+decoder; pose modules may be
+            # absent (the reference's official-weight eval also loads
+            # only those two, model_test.py:29-43) — left at init, unused
+            if name in ("encoder", "decoder"):
+                raise FileNotFoundError(path)
+            print(f">>> {name}{epoch}.npz not found; leaving {name} at "
+                  f"init (depth-only eval does not run it)")
+            continue
         tree = load_npz(path)
         params[name] = tree["params"]
         if "batch_stats" in tree:

@@ -24,9 +24,9 @@ accumulates the channel mean. No transpose inside the kernel, no gather.
 Backward: `jax.custom_vjp` whose bwd re-derives gradients through the
 pure-jnp reference implementation (ops/ssim.py) — numerically identical
 (the kernel matches the jnp forward to <1e-6) and keeps the kernel
-forward-only. The VMEM working set is ~8 [H, W*C] f32 buffers; for
-images taller than `MAX_ROWS` we fall back to the jnp path (the caller
-checks `pallas_supported`).
+forward-only. The VMEM working set is one [H, W] channel plane plus ~8
+same-shape temporaries; planes beyond `MAX_PLANE_ELEMENTS` fall back to
+the jnp path (the caller checks `pallas_supported`).
 """
 
 from __future__ import annotations
@@ -41,7 +41,14 @@ from monodepth_tpu.ops.ssim import reprojection_error as _jnp_reprojection_error
 _C1 = 0.01 ** 2
 _C2 = 0.03 ** 2
 
-# full-image blocks must fit ~8 f32 [H, W*C] buffers in ~16 MB of VMEM
+# STATUS (round 2): retired from the training/eval step. Measured on
+# v5e-1 at 640x192 b4: kernel 0.72 ms vs jnp 0.76 ms — XLA already
+# fuses the five box filters well, so the kernel's win is ~5% of a
+# sub-millisecond op (invisible end-to-end); at 1024x320 the full-plane
+# block fails Mosaic compilation (internal error). Kept as a tested
+# reference kernel; the step uses the jnp path everywhere
+# (training/step.py). The warp sampler (warp_sample.py) is where Pallas
+# actually pays.
 MAX_ELEMENTS = 192 * 640 * 3
 
 

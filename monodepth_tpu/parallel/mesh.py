@@ -87,14 +87,25 @@ def batch_sharding(mesh: Mesh, key: str, ndim: int,
     return NamedSharding(mesh, P(*spec))
 
 
+def put_global(batch: Dict[str, np.ndarray], shardings: Dict[str, NamedSharding]):
+    """Host batch -> global device arrays under `shardings`.
+
+    Single-process: plain device_put. Multi-host: each process holds only
+    its contiguous slice of every batch (Loader yields exactly that, see
+    data/pipeline.py) and the global array is assembled with
+    `jax.make_array_from_process_local_data` — no host ever materializes
+    the full global batch (SURVEY.md §5.8 build plan)."""
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    return {k: jax.make_array_from_process_local_data(shardings[k], v)
+            for k, v in batch.items()}
+
+
 def shard_batch(mesh: Mesh, batch: Dict[str, np.ndarray],
                 stacked: bool = False):
-    """device_put a host batch onto the mesh, each entry laid out per
+    """Put a host batch onto the mesh, each entry laid out per
     `batch_sharding`. Returns a dict of global jax.Arrays."""
-    return {
-        k: jax.device_put(v, batch_sharding(mesh, k, v.ndim, stacked))
-        for k, v in batch.items()
-    }
+    return put_global(batch, batch_shardings(mesh, batch, stacked))
 
 
 def batch_shardings(mesh: Mesh, batch: Dict[str, np.ndarray],

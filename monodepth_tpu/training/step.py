@@ -49,40 +49,14 @@ from monodepth_tpu.training.state import TrainState
 Array = jax.Array
 
 
-def _pallas_active(cfg: Config) -> bool:
-    """Pallas fused SSIM+L1 is used when enabled, the shape fits VMEM and
-    we're actually on TPU. grid-sample stays on XLA's gather — the warp's
-    data-dependent 2D sampling has no exact fast Pallas formulation on
-    current Mosaic (single-vreg dynamic_gather; the analysis trail lives
-    in CLAUDE.md and NEXT.md P0)."""
-    if not cfg.use_pallas:
-        return False
-    from monodepth_tpu.ops.pallas import pallas_supported
-
-    if not pallas_supported(cfg.height, cfg.width):
-        return False
-    # off-TPU the kernel only runs in (slow) interpret mode — opt-in so
-    # CPU-mesh dryruns/tests can still exercise the Pallas code path
-    return jax.default_backend() == "tpu" or cfg.pallas_interpret
-
-
 def _loss_fns(cfg: Config, train: bool):
-    """(reprojection_fn, identity_fn) for monodepth_loss.
-
-    Eval runs the Pallas kernel everywhere (nothing is differentiated);
-    training keeps the jnp path even for the gradient-free identity
-    term, where XLA's fusion beats the kernel's layout boundaries.
-    Honest value-fetch timing on v5e (see CLAUDE.md): both steps are
-    dominated by the warp gathers, so the kernel is worth ~2% of
-    eval-step time (343 vs 349 ms at 640x192 b12) — kept because the
-    margin grows wherever the gather cost shrinks."""
-    if train or not _pallas_active(cfg):
-        return None, None
-    from monodepth_tpu.ops.pallas import fused_reprojection_error
-
-    interpret = jax.default_backend() != "tpu"
-    pallas_fn = lambda p, t: fused_reprojection_error(p, t, interpret)  # noqa: E731
-    return pallas_fn, pallas_fn
+    """(reprojection_fn, identity_fn) for monodepth_loss — always the
+    jnp path. The fused Pallas SSIM+L1 kernel was measured at 0.72 ms vs
+    0.76 ms for XLA's own fusion of this op (v5e-1, 640x192 b4) and is
+    retired from the step (ops/pallas/reprojection.py STATUS note);
+    Pallas earns its keep on the warp sampler below instead."""
+    del cfg, train
+    return None, None
 
 
 def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],

@@ -257,3 +257,60 @@ def test_missing_velodyne_degrades_gracefully(kitti_tree, tmp_path):
     sample = ds.sample(0, np.random.default_rng(0))
     assert sample["depth_gt"].shape == (375, 1242)
     assert float(sample["depth_gt"].max()) == 0.0
+
+
+def test_multihost_loader_slices_compose_to_global(kitti_tree):
+    """Simulated 2-process loading: each rank's contiguous per-batch slice
+    concatenates (in rank order) to exactly the single-process global
+    batch — the contract jax.make_array_from_process_local_data assembles
+    by (SURVEY.md §5.8)."""
+    lines = kitti.readlines(
+        f"{kitti_tree}/splits/kitti_eigen_zhou/train_files.txt")
+    ds = KittiDataset(kitti_tree, lines, True, (0, -1, 1), 96, 320)
+    global_loader = Loader(ds, batch_size=4, shuffle=True, num_workers=2,
+                           seed=7)
+    ranks = [Loader(ds, batch_size=4, shuffle=True, num_workers=2, seed=7,
+                    process_index=p, process_count=2) for p in range(2)]
+    try:
+        global_batches = list(global_loader.epoch(0))
+        rank_batches = [list(r.epoch(0)) for r in ranks]
+        assert len(global_batches) == len(rank_batches[0]) == len(ranks[0])
+        for g, r0, r1 in zip(global_batches, *rank_batches):
+            assert r0["frames"].shape[0] == 2  # local slice
+            for key in g:
+                np.testing.assert_array_equal(
+                    g[key], np.concatenate([r0[key], r1[key]]))
+    finally:
+        global_loader.close()
+        for r in ranks:
+            r.close()
+
+
+def test_multihost_loader_requires_drop_last(kitti_tree):
+    lines = kitti.readlines(
+        f"{kitti_tree}/splits/kitti_eigen_zhou/train_files.txt")
+    ds = KittiDataset(kitti_tree, lines, False, (0,), 96, 320)
+    loader = Loader(ds, batch_size=2, shuffle=False, drop_last=False,
+                    process_index=1, process_count=2)
+    with pytest.raises(ValueError, match="drop_last"):
+        next(loader.epoch(0))
+    with pytest.raises(ValueError, match="divisible"):
+        Loader(ds, batch_size=3, shuffle=False, process_index=0,
+               process_count=2)
+
+
+def test_put_global_single_process_matches_device_put(kitti_tree):
+    """put_global == device_put when single-process (the multi-host branch
+    needs real multiple processes; its data contract is covered above)."""
+    from monodepth_tpu.parallel import make_mesh, shard_batch
+    from monodepth_tpu.parallel.mesh import batch_shardings
+
+    mesh = make_mesh(2, 1)
+    batch = {"frames": np.arange(4 * 2 * 8 * 16 * 3, dtype=np.uint8)
+             .reshape(4, 2, 8, 16, 3),
+             "K": np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))}
+    out = shard_batch(mesh, batch)
+    shardings = batch_shardings(mesh, batch)
+    for k, v in batch.items():
+        np.testing.assert_array_equal(np.asarray(out[k]), v)
+        assert out[k].sharding.is_equivalent_to(shardings[k], v.ndim)

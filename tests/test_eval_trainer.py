@@ -154,3 +154,66 @@ def test_stereo_cli_trainer_builds(kitti_tree, tmp_path):
     finally:
         trainer.train_loader.close()
         trainer.valid_loader.close()
+
+
+def test_official_layout_weights_through_cli(kitti_tree, tmp_path):
+    """The reference's de-facto integration test, hermetically: a torch
+    checkpoint in the official Monodepth2 layout (encoder.pth/depth.pth)
+    converts through the tools/convert_torch_weights.py CLI and evaluates
+    through the model_test.py CLI (reference: model_test.py:142-159); the
+    CLI's printed table matches the library-path eval of the same
+    converted weights."""
+    import re
+    import subprocess
+    import sys
+
+    import torch
+
+    from monodepth_tpu.models import num_ch_enc
+    from test_models import (
+        _randomize_bn_stats,
+        _torch_depth_decoder,
+        _torch_resnet,
+    )
+
+    root, splits = kitti_tree
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = tmp_path / "torch_ckpt"
+    conv = tmp_path / "converted"
+    src.mkdir()
+
+    torch.manual_seed(1)
+    enc = _torch_resnet(18).eval()
+    _randomize_bn_stats(enc, seed=3)
+    dec = _torch_depth_decoder(num_ch_enc(18)).eval()
+    torch.save(enc.state_dict(), src / "encoder.pth")
+    torch.save(dec.state_dict(), src / "depth.pth")
+
+    out = subprocess.run(
+        [sys.executable, "tools/convert_torch_weights.py", "monodepth2",
+         str(src), str(conv), "--epoch", "0"],
+        cwd=repo, capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-800:]
+    assert os.path.exists(conv / "encoder0.npz")
+    assert os.path.exists(conv / "decoder0.npz")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "model_test.py", "--datapath", root,
+         "--splits", splits, "--height", "64", "--width", "96",
+         "--eval_batch", "2", "--weights", f"{conv}:0",
+         "--gt_cache", str(tmp_path / "gtc")],
+        cwd=repo, capture_output=True, text=True, timeout=540, env=env)
+    assert out.returncode == 0, out.stderr[-800:]
+    rows = [ln for ln in out.stdout.splitlines()
+            if re.match(r">>>\s+[\d.]+\s", ln)]
+    assert rows, out.stdout
+    cli_metrics = [float(v) for v in re.findall(r"[\d.]+", rows[-1])]
+    assert len(cli_metrics) == 7 and all(np.isfinite(cli_metrics))
+
+    cfg = Config(datapath=root, splits=splits, height=64, width=96,
+                 weight_init=False, use_pallas=False)
+    state = state_from_modules(cfg, str(conv), 0)
+    lib = evaluate(cfg, state, eval_batch=2)
+    for value, key in zip(cli_metrics, METRIC_NAMES):
+        assert value == pytest.approx(lib[key], abs=2e-3)

@@ -12,7 +12,9 @@ from monodepth_tpu.training.step import make_train_step
 from tests.test_training import make_batch
 
 CFG = Config(height=32, width=64, batch=8, precision="f32", scales=(0, 1),
-             weight_init=False, use_pallas=False)
+             weight_init=False, use_pallas=False,
+             train_gt_metrics=True)  # DP == single-device must hold for
+                                     # the GT metric reductions too
 
 
 @pytest.fixture(scope="module")
