@@ -41,27 +41,40 @@ TIMED_STEPS = 20
 
 
 def main():
+    import argparse
+
     from monodepth_tpu.config import Config
     from monodepth_tpu.data.synthetic import make_planar_scenes
     from monodepth_tpu.training.state import build_model, create_state, make_optimizer
     from monodepth_tpu.training.step import make_train_step
 
-    cfg = Config(weight_init=False)  # bf16 compute, Pallas warp on TPU
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--height", default=192, type=int)
+    p.add_argument("--width", default=640, type=int)
+    p.add_argument("--batch", default=12, type=int)
+    p.add_argument("--remat", default=False,
+                   type=lambda t: t.lower() in ("1", "true", "yes"))
+    p.add_argument("--warmup", default=WARMUP_STEPS, type=int)
+    args = p.parse_args()
+
+    cfg = Config(height=args.height, width=args.width, batch=args.batch,
+                 remat=args.remat, weight_init=False)  # bf16 + Pallas warp
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = create_state(cfg, model, tx)
     train_step = make_train_step(model, tx, cfg, donate=False)
 
-    scenes = make_planar_scenes(36, cfg.height, cfg.width, seed=0)
+    n_scenes = 3 * cfg.batch
+    scenes = make_planar_scenes(n_scenes, cfg.height, cfg.width, seed=0)
     keys = ("frames", "jitter", "K", "inv_K")
     batches = [{k: jax.device_put(scenes[k][i:i + cfg.batch]) for k in keys}
-               for i in range(0, 36, cfg.batch)]
+               for i in range(0, n_scenes, cfg.batch)]
 
     # calibrate: disparity/pose reach their training-run operating range
-    for i in range(WARMUP_STEPS):
+    for i in range(args.warmup):
         state, metrics = train_step(state, batches[i % len(batches)])
         if i % 30 == 29:
-            print(f"warmup {i + 1}/{WARMUP_STEPS} "
+            print(f"warmup {i + 1}/{args.warmup} "
                   f"loss {float(metrics['loss']):.4f}", file=sys.stderr)
     _ = float(metrics["loss"])
 
@@ -74,7 +87,8 @@ def main():
     img_per_sec = TIMED_STEPS * cfg.batch / dt
     per_chip = img_per_sec / jax.device_count()
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_640x192_b12",
+        "metric": f"train_images_per_sec_per_chip_"
+                  f"{cfg.width}x{cfg.height}_b{cfg.batch}",
         "value": round(per_chip, 2),
         "unit": "img/s",
         "vs_baseline": round(per_chip / REFERENCE_IMG_PER_SEC, 3),
