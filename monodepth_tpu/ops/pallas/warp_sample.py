@@ -165,13 +165,19 @@ def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
 
 def _coords(grid, height, width):
     """Continuous clamped coords + integer anchors + weights — EXACTLY the
-    prep of ops/sampling.grid_sample so the two paths share semantics."""
+    prep of ops/sampling.grid_sample so the two paths share semantics.
+    Integer anchors are re-clamped AFTER the int cast: a NaN coordinate
+    casts to an undefined int that would otherwise blow up the kernel's
+    candidate-loop bounds (NaN weights still poison the output values,
+    never memory safety or loop trip counts)."""
     x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (width - 1), 0.0, width - 1)
     y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (height - 1), 0.0, height - 1)
     x0 = jnp.clip(jnp.floor(x), 0, width - 2)
     y0 = jnp.clip(jnp.floor(y), 0, height - 2)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, width - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, height - 2)
     return (x - x0).astype(jnp.float32), (y - y0).astype(jnp.float32), \
-        x0.astype(jnp.int32), y0.astype(jnp.int32)
+        x0i, y0i
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -69,6 +69,13 @@ def grid_sample(image: Array, grid: Array, method: str = "packed") -> Array:
     y0 = jnp.clip(jnp.floor(y), 0, H - 2)
     wx = (x - x0).astype(dtype)[..., None]
     wy = (y - y0).astype(dtype)[..., None]
+    # INT-side clamp: a NaN coordinate (e.g. a diverged training step)
+    # survives the float clips and casts to an undefined int — which the
+    # PROMISE_IN_BOUNDS gathers below would dereference out of bounds
+    # (a TPU worker fault). Clamp after the cast; NaN weights still
+    # propagate NaN to the output (torch-like garbage-in/NaN-out).
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
 
     Ho, Wo = grid.shape[1], grid.shape[2]
     if method == "patch":

@@ -98,3 +98,21 @@ def test_warp_sample_supported_shapes():
     assert supported(192, 640) and supported(320, 1024)
     assert not supported(192, 96)   # width not a lane multiple
     assert not supported(30, 640)   # height not a slab multiple
+
+
+def test_warp_sample_nan_grid_is_safe(rng):
+    """NaN/inf coords must not blow up the kernel's candidate-loop bounds
+    or index math (int-side clamp in _coords); only affected outputs go
+    NaN."""
+    B, H, W = 1, 8, 128
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    grid = _warp_grid_np(rng, B, H, W, wild_entry=False)
+    grid[0, 1, 2] = np.nan
+    grid[0, 4, 5, 1] = np.inf
+    out = np.asarray(warp_sample(img, jnp.asarray(grid), True))
+    assert out.shape == (B, H, W, 3)
+    assert np.isnan(out[0, 1, 2]).all()
+    mask = np.ones((H, W), bool)
+    mask[1, 2] = False
+    mask[4, 5] = False
+    assert np.isfinite(out[0][mask]).all()

@@ -71,3 +71,22 @@ def test_pyramid_shapes(rng):
     # Area downsample preserves the mean.
     np.testing.assert_allclose(float(pyr[0].mean()), float(pyr[-1].mean()),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["patch", "packed", "scalar"])
+def test_grid_sample_nan_grid_is_memory_safe(rng, method):
+    """A NaN coordinate (diverged training step) must never become an
+    out-of-bounds PROMISE_IN_BOUNDS gather index — the int-side clamp
+    keeps reads in range; NaN weights poison only the affected outputs."""
+    img = rng.standard_normal((1, 8, 12, 3)).astype(np.float32)
+    grid = rng.uniform(-0.9, 0.9, (1, 8, 12, 2)).astype(np.float32)
+    grid[0, 2, 3] = np.nan
+    grid[0, 5, 7, 0] = np.inf
+    out = np.asarray(sampling.grid_sample(jnp.asarray(img),
+                                          jnp.asarray(grid), method=method))
+    assert out.shape == (1, 8, 12, 3)
+    assert np.isnan(out[0, 2, 3]).all()        # NaN position -> NaN
+    mask = np.ones((8, 12), bool)
+    mask[2, 3] = False
+    mask[5, 7] = False                          # inf x clamps to border
+    assert np.isfinite(out[0][mask]).all()
