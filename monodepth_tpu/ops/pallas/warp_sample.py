@@ -62,31 +62,41 @@ def _floor_div(a, b):
     return jax.lax.div(a - jnp.where(a < 0, b - 1, 0), b)
 
 
-def _row_pair_gather(slab, lane_meta):
-    """v0[s,l] = slab[s, idx[s,l]], v1[s,l] = slab[s, idx[s,l]+1] using
-    the hoisted per-output-block metadata from `_lane_meta`. Static
-    per-128-chunk candidate select (the only gather Mosaic lowers is
-    single-vreg take_along_axis); chunks outside the block's index range
-    are skipped via lax.cond."""
-    n_blocks = len(lane_meta)
-    v0s, v1s = [], []
-    for j, (idx_j, kmin, kmax) in enumerate(lane_meta):
-        zero = jnp.zeros((SLAB, LANES), jnp.float32)
-        a0, a1 = zero, zero
-        for k in range(n_blocks):
-            def hit(a0=a0, a1=a1, k=k, idx_j=idx_j):
-                chunk = slab[:, k * LANES:(k + 1) * LANES]
-                l0 = idx_j - k * LANES
-                l1 = l0 + 1
-                g0 = jnp.take_along_axis(
-                    chunk, jnp.clip(l0, 0, LANES - 1), axis=1)
-                g1 = jnp.take_along_axis(
-                    chunk, jnp.clip(l1, 0, LANES - 1), axis=1)
-                return (jnp.where((l0 >= 0) & (l0 < LANES), g0, a0),
-                        jnp.where((l1 >= 0) & (l1 < LANES), g1, a1))
+def _row_pair_gather(img_ref, ch, start16, t, lane_meta):
+    """v0[s,l] = row[idx[s,l]], v1[s,l] = row[idx[s,l]+1] for the 8-row
+    window at sub-offset `t` of the aligned 16-row block at `start16`,
+    using the hoisted per-output-block metadata from `_kernel`.
 
-            a0, a1 = jax.lax.cond(
-                (k >= kmin) & (k <= kmax), hit, lambda a0=a0, a1=a1: (a0, a1))
+    Each 128-lane output block runs a dynamic fori_loop over ONLY the
+    source chunks its indices touch ([kmin, kmax] — usually one), reading
+    the [16, 128] chunk straight from the image ref (dynamic lane slices
+    of refs lower fine; of values they don't). Both x-taps come from the
+    same chunk load; the only gather Mosaic lowers is single-vreg
+    take_along_axis. A cond-per-static-chunk formulation was measured
+    slower: its false branches copy the accumulators, and misses
+    outnumber hits ~3:1."""
+    from jax.experimental import pallas as pl
+
+    v0s, v1s = [], []
+    for idx_j, kmin, kmax in lane_meta:
+        zero = jnp.zeros((SLAB, LANES), jnp.float32)
+
+        def body(k, carry, idx_j=idx_j):
+            a0, a1 = carry
+            off = pl.multiple_of(k * LANES, LANES)
+            chunk16 = img_ref[0, ch, pl.ds(start16, 2 * SLAB),
+                              pl.ds(off, LANES)]
+            chunk = chunk16[t:t + SLAB]
+            l0 = idx_j - off
+            l1 = l0 + 1
+            g0 = jnp.take_along_axis(chunk, jnp.clip(l0, 0, LANES - 1),
+                                     axis=1)
+            g1 = jnp.take_along_axis(chunk, jnp.clip(l1, 0, LANES - 1),
+                                     axis=1)
+            return (jnp.where((l0 >= 0) & (l0 < LANES), g0, a0),
+                    jnp.where((l1 >= 0) & (l1 < LANES), g1, a1))
+
+        a0, a1 = jax.lax.fori_loop(kmin, kmax + 1, body, (zero, zero))
         v0s.append(a0)
         v1s.append(a1)
     return jnp.concatenate(v0s, axis=1), jnp.concatenate(v1s, axis=1)
@@ -122,8 +132,6 @@ def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
     # sparse in their range). Channels share all masks and weights.
     def block_body(o8, carry):
         start = pl.multiple_of(base + o8 * SLAB, SLAB)
-        block16 = [img_ref[0, ch, pl.ds(start, 2 * SLAB), :]
-                   for ch in range(channels)]
 
         for t in range(SLAB):
             c = o8 * SLAB + t
@@ -131,7 +139,7 @@ def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
             m1b = dyb == c - 1     # tap row y0 + 1
             needed = jnp.any(m0b | m1b)
 
-            def hit(carry=carry, t=t, m0b=m0b, m1b=m1b, block16=block16):
+            def hit(carry=carry, t=t, m0b=m0b, m1b=m1b, start=start):
                 m0 = m0b.astype(jnp.float32)
                 m1 = m1b.astype(jnp.float32)
                 w = m0 * (one - wyb) + m1 * wyb
@@ -140,7 +148,7 @@ def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
                 for ch in range(channels):
                     out_acc, gx_acc, gy_acc = carry[ch]
                     v0, v1 = _row_pair_gather(
-                        block16[ch][t:t + SLAB], lane_meta)
+                        img_ref, ch, start, t, lane_meta)
                     diff = v1 - v0
                     interp = v0 + wxb * diff
                     new[ch] = (out_acc + w * interp,
