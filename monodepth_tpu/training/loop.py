@@ -150,8 +150,14 @@ class Trainer:
         ds_args = dict(datapath=cfg.datapath, frame_ids=cfg.frame_ids,
                        height=cfg.height, width=cfg.width,
                        gt_cache_dir=gt_cache, frame_cache_dir=frame_cache)
+        # without in-step GT metrics the 375x1242 depth map is dead
+        # weight on the train path — skipping it saves the velodyne
+        # load AND a 22 MB/batch host->device transfer (the valid pass
+        # always loads GT for its full metric table)
         self.train_dataset = KittiDataset(filenames=train_files,
-                                          is_training=True, **ds_args)
+                                          is_training=True,
+                                          load_depth=cfg.train_gt_metrics,
+                                          **ds_args)
         self.valid_dataset = KittiDataset(filenames=valid_files,
                                           is_training=False, **ds_args)
         loader_args = dict(batch_size=cfg.batch, num_workers=cfg.num_workers,
