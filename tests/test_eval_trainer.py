@@ -217,3 +217,23 @@ def test_official_layout_weights_through_cli(kitti_tree, tmp_path):
     lib = evaluate(cfg, state, eval_batch=2)
     for value, key in zip(cli_metrics, METRIC_NAMES):
         assert value == pytest.approx(lib[key], abs=2e-3)
+
+
+def test_trainer_skips_train_gt_without_metrics(kitti_tree, tmp_path):
+    """Default train_gt_metrics=False must drop the 375x1242 GT map from
+    train batches entirely (dead weight: velodyne load + 22 MB/batch
+    host->device); the valid pass keeps it for its metric table."""
+    root, splits = kitti_tree
+    cfg = make_cfg(root, splits, str(tmp_path))
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1))
+    try:
+        assert not trainer.train_dataset.load_depth
+        assert trainer.valid_dataset.load_depth
+        batch = next(iter(trainer.train_loader.epoch(0)))
+        assert "depth_gt" not in batch
+        vbatch = next(iter(trainer.valid_loader.epoch(0)), None)
+        if vbatch is not None:  # tiny valid split may have 0 full batches
+            assert "depth_gt" in vbatch
+    finally:
+        trainer.train_loader.close()
+        trainer.valid_loader.close()

@@ -55,6 +55,10 @@ def main():
     p.add_argument("--batch", default=8, type=int)
     p.add_argument("--scenes", default=32, type=int)
     p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--use_automasking", default=True,
+                   type=lambda t: t.lower() in ("1", "true", "yes"),
+                   help="False isolates whether stuck scenes are "
+                        "automask/min local minima")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--out", default="", type=str,
                    help="write a markdown report here")
@@ -65,6 +69,7 @@ def main():
     cfg = Config(height=args.height, width=args.width, batch=args.batch,
                  learning_rate=args.learning_rate, seed=args.seed,
                  weight_init=False, use_pallas=False, frame_ids=frame_ids,
+                 use_automasking=args.use_automasking,
                  precision="bf16" if on_tpu else "f32",
                  train_gt_metrics=False)
     print(f">>> backend {jax.default_backend()}, "
