@@ -174,13 +174,16 @@ class Trainer:
                                   pretrained=load_pretrained(cfg))
         self.state = replicate(self.mesh, self.state)
 
+        step_mesh = self.mesh if ndev > 1 else None
         if cfg.steps_per_call > 1:
             self.train_step = make_train_multi_step(self.model, self.tx,
-                                                    cfg, donate=cfg.donate)
+                                                    cfg, donate=cfg.donate,
+                                                    mesh=step_mesh)
         else:
             self.train_step = make_train_step(self.model, self.tx, cfg,
-                                              donate=cfg.donate)
-        self.eval_step = make_eval_step(self.model, cfg)
+                                              donate=cfg.donate,
+                                              mesh=step_mesh)
+        self.eval_step = make_eval_step(self.model, cfg, mesh=step_mesh)
 
         from monodepth_tpu.utils.platform import enable_compile_cache
 

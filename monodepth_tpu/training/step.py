@@ -59,8 +59,49 @@ def _loss_fns(cfg: Config, train: bool):
     return None, None
 
 
+def _make_sampler(cfg: Config, mesh):
+    """The warp sampler for this config/mesh (the step's hot op —
+    measurements in tools/bench_gather.py and docs/PERF.md):
+
+    - Pallas candidate-select kernel when available: 3.6-7.7 ms/warp
+      fwd+dgrid at 640x192 b12 in training's displacement regimes vs
+      ~44 ms for the best XLA gather; exact parity incl. dgrid. Sources
+      carry no parameter gradient, so its zero image-cotangent is exact
+      here (warp_sample docstring). Under a multi-device mesh the kernel
+      is shard_mapped over the "data" axis — GSPMD has no partitioning
+      rule for pallas_call and would otherwise ALL-GATHER the inputs and
+      run it fully replicated on every chip (verified in compiled HLO).
+    - jnp "packed" gather otherwise (CPU, odd shapes): fastest exact XLA
+      form at every resolution; GSPMD partitions its batching-dim
+      gathers natively.
+    """
+    from monodepth_tpu.ops.pallas import warp_sample as _ws
+
+    on_tpu = jax.default_backend() == "tpu"
+    if (cfg.use_pallas and _ws.supported(cfg.height, cfg.width)
+            and (on_tpu or cfg.pallas_interpret)):
+        def base_sample(img, grd, _interp=not on_tpu):
+            return _ws.warp_sample(img, grd, _interp)
+
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax.experimental.shard_map import shard_map
+            except ImportError:  # newer jax moved it
+                from jax import shard_map
+
+            spec = P("data")
+            base_sample = shard_map(
+                base_sample, mesh=mesh, in_specs=(spec, spec),
+                out_specs=spec, check_rep=False)
+    else:
+        base_sample = grid_sample
+    return jax.checkpoint(base_sample) if cfg.remat else base_sample
+
+
 def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
-                   cfg: Config, *, train: bool) -> Dict[str, Any]:
+                   cfg: Config, *, train: bool, mesh=None) -> Dict[str, Any]:
     """Forward the model and synthesize every (scale, source) warp.
 
     Returns disps / warped / sources / target_pyr / depth0 (full-res
@@ -100,25 +141,7 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
                 transforms[fid] = transform_from_parameters(
                     aa, t, invert=model.invert_for_frame(fid))
 
-    # Sampler selection (the step's hot op — tools/bench_gather.py):
-    # - Pallas candidate-select warp kernel when available: ~14 ms/warp
-    #   fwd+dgrid at 640x192 b12 on warp-shaped grids vs 44 ms for the
-    #   best XLA gather; cost adapts to the actual displacement field.
-    #   Exact parity incl. dgrid; sources carry no parameter gradient,
-    #   so its zero image-cotangent is exact here (warp_sample docstring).
-    # - jnp "packed" gather otherwise (CPU, odd shapes): fastest exact
-    #   XLA form at every resolution (~10x-padded transient, ~2 GB at
-    #   1024x320 b12). Under --remat recompute warps in the bwd pass.
-    from monodepth_tpu.ops.pallas import warp_sample as _ws
-
-    on_tpu = jax.default_backend() == "tpu"
-    if (cfg.use_pallas and _ws.supported(H, W)
-            and (on_tpu or cfg.pallas_interpret)):
-        def base_sample(img, grd, _interp=not on_tpu):
-            return _ws.warp_sample(img, grd, _interp)
-    else:
-        base_sample = grid_sample
-    sample = jax.checkpoint(base_sample) if cfg.remat else base_sample
+    sample = _make_sampler(cfg, mesh)
 
     warped: Dict[int, list] = {}
     depth0 = None
@@ -176,13 +199,14 @@ def _metrics(loss, out, batch, with_gt: bool = True):
 
 
 def _train_step_body(model: Monodepth, tx: optax.GradientTransformation,
-                     cfg: Config):
+                     cfg: Config, mesh=None):
     def train_step(state: TrainState, batch: Dict[str, Array]):
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            out = apply_and_warp(model, variables, batch, cfg, train=True)
+            out = apply_and_warp(model, variables, batch, cfg, train=True,
+                                 mesh=mesh)
             loss, aux = _loss_from_outputs(out, rng, cfg, train=True)
             return loss, (aux, out)
 
@@ -200,18 +224,20 @@ def _train_step_body(model: Monodepth, tx: optax.GradientTransformation,
 
 
 def make_train_step(model: Monodepth, tx: optax.GradientTransformation,
-                    cfg: Config, donate: bool = False):
+                    cfg: Config, donate: bool = False, mesh=None):
     """Build the jitted train step: (TrainState, batch) -> (TrainState,
     metrics). donate=True updates parameters and optimizer state in place
     in HBM (halves their peak memory, costs ~0.8 ms/call of host-side
     bookkeeping); leave False when memory is plentiful or the caller must
-    keep the pre-step state alive."""
-    return jax.jit(_train_step_body(model, tx, cfg),
+    keep the pre-step state alive. Pass the device mesh when running
+    multi-device so the Pallas warp kernel shard_maps over the data axis
+    (see _make_sampler)."""
+    return jax.jit(_train_step_body(model, tx, cfg, mesh),
                    donate_argnums=(0,) if donate else ())
 
 
 def make_train_multi_step(model: Monodepth, tx: optax.GradientTransformation,
-                          cfg: Config, donate: bool = False):
+                          cfg: Config, donate: bool = False, mesh=None):
     """K training steps per dispatch via `lax.scan` over stacked batches.
 
     (TrainState, batches [K, B, ...]) -> (TrainState, metrics of [K]).
@@ -219,7 +245,7 @@ def make_train_multi_step(model: Monodepth, tx: optax.GradientTransformation,
     the per-call host dispatch (~2.8 ms on a slow host — more than the
     2.4 ms device step at 640x192 b12). This is the throughput path when
     the input pipeline can stay ahead (`--steps_per_call`)."""
-    body = _train_step_body(model, tx, cfg)
+    body = _train_step_body(model, tx, cfg, mesh)
 
     def multi_step(state: TrainState, batches: Dict[str, Array]):
         return jax.lax.scan(body, state, batches)
@@ -227,7 +253,7 @@ def make_train_multi_step(model: Monodepth, tx: optax.GradientTransformation,
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: Monodepth, cfg: Config):
+def make_eval_step(model: Monodepth, cfg: Config, mesh=None):
     """Validation step: full forward + loss + metrics, no mutation
     (reference: model_train.py:75-79 `no_grad` valid loop)."""
 
@@ -235,7 +261,8 @@ def make_eval_step(model: Monodepth, cfg: Config):
         rng = jax.random.fold_in(state.rng, state.step)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        out = apply_and_warp(model, variables, batch, cfg, train=False)
+        out = apply_and_warp(model, variables, batch, cfg, train=False,
+                             mesh=mesh)
         loss, aux = _loss_from_outputs(out, rng, cfg, train=False)
         return _metrics(loss, out, batch)
 
