@@ -10,18 +10,16 @@ from __future__ import annotations
 
 import numpy as np
 
-# 16-entry magma anchor LUT (matplotlib's colormap, downsampled); full
-# 256-entry table is produced by linear interpolation.
+# 11-entry magma anchor LUT (matplotlib's colormap sampled at 0, 0.1,
+# ..., 1.0); the full 256-entry table is produced by linear interpolation.
 _MAGMA_ANCHORS = np.array([
     [0.001462, 0.000466, 0.013866], [0.078815, 0.054184, 0.211667],
     [0.232077, 0.059889, 0.437695], [0.390384, 0.100379, 0.501864],
     [0.550287, 0.161158, 0.505719], [0.716387, 0.214982, 0.47529],
     [0.868793, 0.287728, 0.409303], [0.967671, 0.439703, 0.35981],
     [0.994738, 0.62435, 0.427397], [0.99568, 0.812706, 0.572645],
-    [0.987053, 0.991438, 0.749504], [0.987053, 0.991438, 0.749504],
-    [0.987053, 0.991438, 0.749504], [0.987053, 0.991438, 0.749504],
-    [0.987053, 0.991438, 0.749504], [0.987053, 0.991438, 0.749504],
-], dtype=np.float64)[:11]
+    [0.987053, 0.991438, 0.749504],
+], dtype=np.float64)
 
 
 def _magma_lut() -> np.ndarray:
