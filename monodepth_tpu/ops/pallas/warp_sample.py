@@ -194,6 +194,13 @@ def _forward(image, grid, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     B, H, W, C = image.shape
+    if grid.shape != (B, H, W, 2):
+        # the dy/slab structure assumes output size == source size (all
+        # warps in this framework are same-size); the jnp grid_sample
+        # handles the general Ho/Wo case
+        raise ValueError(f"warp_sample needs grid [B, H, W, 2] matching "
+                         f"the image; got image {image.shape}, "
+                         f"grid {grid.shape}")
     wx, wy, x0, y0 = _coords(grid, H, W)
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
     dy = y0 - rows

@@ -116,3 +116,31 @@ def test_warp_sample_nan_grid_is_safe(rng):
     mask[1, 2] = False
     mask[4, 5] = False
     assert np.isfinite(out[0][mask]).all()
+
+
+def test_warp_sample_fuzz_matches_jnp(rng):
+    """Shape/field fuzz: random supported shapes x random smooth+wild
+    grids must match the jnp sampler exactly (fwd and dgrid)."""
+    for trial in range(5):
+        B = int(rng.integers(1, 3))
+        H = int(rng.choice([8, 16, 24]))
+        W = int(rng.choice([128, 256]))
+        img = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+        grid = jnp.asarray(
+            rng.uniform(-2.0, 2.0, (B, H, W, 2)).astype(np.float32))
+        ref = grid_sample(img, grid)
+        pal = warp_sample(img, grid, True)
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                                   atol=1e-6, err_msg=f"trial {trial}")
+        d1 = jax.grad(lambda g: (grid_sample(img, g) ** 2).sum())(grid)
+        d2 = jax.grad(lambda g: (warp_sample(img, g, True) ** 2).sum())(grid)
+        scale = max(float(jnp.abs(d1).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   atol=3e-6 * scale, err_msg=f"trial {trial}")
+
+
+def test_warp_sample_rejects_mismatched_grid(rng):
+    img = jnp.zeros((1, 8, 128, 3), jnp.float32)
+    grid = jnp.zeros((1, 16, 128, 2), jnp.float32)
+    with pytest.raises(ValueError, match="matching"):
+        warp_sample(img, grid, True)
