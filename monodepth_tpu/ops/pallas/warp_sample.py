@@ -1,8 +1,9 @@
 """Pallas TPU kernel: exact bilinear grid-sample for the warp hot path.
 
-The 8 per-step warp `grid_sample`s are THE training bottleneck (~55% of
-the step even with the packed XLA gather, tools/bench_step.py): XLA:TPU
-gather costs ~21 ns per index regardless of form. This kernel replaces
+The 8 per-step warp `grid_sample`s were THE training bottleneck (~55% of
+the step even with the packed XLA gather, tools/bench_step.py; ~26%
+after this kernel): XLA:TPU gather costs ~21 ns per index regardless of
+form. This kernel replaces
 the per-index gather with VPU candidate-select, exploiting the structure
 of warp displacement fields (reference op: F.grid_sample border/
 align_corners=True, model_layer/warp.py:12-14, processor.py:161):
@@ -54,11 +55,9 @@ def supported(height: int, width: int) -> bool:
     return height % SLAB == 0 and width % LANES == 0
 
 
-
-
 def _floor_div(a, b):
-    """Floor division for possibly-negative traced ints (lax // floors
-    already, but keep intent explicit)."""
+    """Floor division for possibly-negative traced ints (`lax.div`
+    truncates toward zero; shift negative numerators to compensate)."""
     return jax.lax.div(a - jnp.where(a < 0, b - 1, 0), b)
 
 
