@@ -61,36 +61,41 @@ def _floor_div(a, b):
     return jax.lax.div(a - jnp.where(a < 0, b - 1, 0), b)
 
 
-def _row_pair_gather(img_ref, ch, start16, t, lane_meta):
-    """v0[s,l] = row[idx[s,l]], v1[s,l] = row[idx[s,l]+1] for the 8-row
-    window at sub-offset `t` of the aligned 16-row block at `start16`,
-    using the hoisted per-output-block metadata from `_kernel`.
+def _row_pair_gather(img_ref, channels, start16, t, lane_meta):
+    """v0/v1 [C*SLAB, W_block] per output block: v0 rows ch*8+s hold
+    row[idx[s,l]] of channel ch (v1 the +1 tap), for the 8-row window at
+    sub-offset `t` of the aligned 16-row block at `start16`.
 
-    Each 128-lane output block runs a dynamic fori_loop over ONLY the
-    source chunks its indices touch ([kmin, kmax] — usually one), reading
-    the [16, 128] chunk straight from the image ref (dynamic lane slices
+    ALL channels gather in one [C*8, 128] take_along_axis — the gather
+    instruction's cost is nearly height-independent (measured 7.1 us for
+    [8,128] vs 7.7 us for [24,128] in a latency chain), so stacking
+    channels on sublanes cuts the dominant per-gather cost ~3x. Each
+    128-lane output block runs a dynamic fori_loop over ONLY the source
+    chunks its indices touch ([kmin, kmax] — usually one), reading the
+    [C, 16, 128] chunk straight from the image ref (dynamic lane slices
     of refs lower fine; of values they don't). Both x-taps come from the
-    same chunk load; the only gather Mosaic lowers is single-vreg
-    take_along_axis. A cond-per-static-chunk formulation was measured
+    same chunk load. A cond-per-static-chunk formulation was measured
     slower: its false branches copy the accumulators, and misses
     outnumber hits ~3:1."""
     from jax.experimental import pallas as pl
 
     v0s, v1s = [], []
-    for idx_j, kmin, kmax in lane_meta:
-        zero = jnp.zeros((SLAB, LANES), jnp.float32)
+    for idx_j, idx3_j, kmin, kmax in lane_meta:
+        del idx_j
+        zero = jnp.zeros((channels * SLAB, LANES), jnp.float32)
 
-        def body(k, carry, idx_j=idx_j):
+        def body(k, carry, idx3_j=idx3_j):
             a0, a1 = carry
             off = pl.multiple_of(k * LANES, LANES)
-            chunk16 = img_ref[0, ch, pl.ds(start16, 2 * SLAB),
-                              pl.ds(off, LANES)]
-            chunk = chunk16[t:t + SLAB]
-            l0 = idx_j - off
+            chunk_all = img_ref[0, :, pl.ds(start16, 2 * SLAB),
+                                pl.ds(off, LANES)]          # [C, 16, 128]
+            win = jnp.concatenate(
+                [chunk_all[c, t:t + SLAB] for c in range(channels)], axis=0)
+            l0 = idx3_j - off
             l1 = l0 + 1
-            g0 = jnp.take_along_axis(chunk, jnp.clip(l0, 0, LANES - 1),
+            g0 = jnp.take_along_axis(win, jnp.clip(l0, 0, LANES - 1),
                                      axis=1)
-            g1 = jnp.take_along_axis(chunk, jnp.clip(l1, 0, LANES - 1),
+            g1 = jnp.take_along_axis(win, jnp.clip(l1, 0, LANES - 1),
                                      axis=1)
             return (jnp.where((l0 >= 0) & (l0 < LANES), g0, a0),
                     jnp.where((l1 >= 0) & (l1 < LANES), g1, a1))
@@ -114,21 +119,26 @@ def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
     base = pl.program_id(1) * SLAB + PAD
     one = jnp.float32(1.0)
 
+    def tile_c(a):  # [8, N] -> [C*8, N], channel-stacked on sublanes
+        return jnp.concatenate([a] * channels, axis=0)
+
     # hoisted per-output-block lane metadata (candidate- and channel-
-    # independent): indices + the chunk range they touch
+    # independent): indices (plain + channel-tiled) + their chunk range
     lane_meta = []
     for j in range(width // LANES):
         idx_j = x0b[:, j * LANES:(j + 1) * LANES]
-        lane_meta.append((idx_j, jnp.min(idx_j) // LANES,
+        lane_meta.append((idx_j, tile_c(idx_j), jnp.min(idx_j) // LANES,
                           (jnp.max(idx_j) + 1) // LANES))
+    wxb3 = tile_c(wxb)
 
     # Candidate vertical offsets c cover [dmin, dmax+1] (the +1 serves
     # the y0+1 tap). The outer dynamic loop walks ALIGNED 16-row blocks
-    # (one VMEM read per channel per 8 candidates — Mosaic only proves
-    # sublane alignment for multiple-of-8 starts); the static sub-offset
-    # loop slices the 8-row window statically and is skipped entirely
-    # when no pixel matches that offset (dy values inside a slab are
-    # sparse in their range). Channels share all masks and weights.
+    # (one VMEM read per 8 candidates — Mosaic only proves sublane
+    # alignment for multiple-of-8 starts); the static sub-offset loop
+    # slices the 8-row window statically and is skipped entirely when no
+    # pixel matches that offset (dy values inside a slab are sparse in
+    # their range). All channels share masks/weights and ride one
+    # channel-stacked [C*8, W] accumulator set.
     def block_body(o8, carry):
         start = pl.multiple_of(base + o8 * SLAB, SLAB)
 
@@ -139,35 +149,31 @@ def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
             needed = jnp.any(m0b | m1b)
 
             def hit(carry=carry, t=t, m0b=m0b, m1b=m1b, start=start):
+                out_acc, gx_acc, gy_acc = carry
                 m0 = m0b.astype(jnp.float32)
                 m1 = m1b.astype(jnp.float32)
-                w = m0 * (one - wyb) + m1 * wyb
-                dm = m1 - m0
-                new = list(carry)
-                for ch in range(channels):
-                    out_acc, gx_acc, gy_acc = carry[ch]
-                    v0, v1 = _row_pair_gather(
-                        img_ref, ch, start, t, lane_meta)
-                    diff = v1 - v0
-                    interp = v0 + wxb * diff
-                    new[ch] = (out_acc + w * interp,
-                               gx_acc + w * diff,
-                               gy_acc + dm * interp)
-                return tuple(new)
+                w = tile_c(m0 * (one - wyb) + m1 * wyb)
+                dm = tile_c(m1 - m0)
+                v0, v1 = _row_pair_gather(
+                    img_ref, channels, start, t, lane_meta)
+                diff = v1 - v0
+                interp = v0 + wxb3 * diff
+                return (out_acc + w * interp,
+                        gx_acc + w * diff,
+                        gy_acc + dm * interp)
 
             carry = jax.lax.cond(needed, hit, lambda carry=carry: carry)
         return carry
 
-    zero = jnp.zeros((SLAB, width), jnp.float32)
-    init = tuple((zero, zero, zero) for _ in range(channels))
-    final = jax.lax.fori_loop(
+    zero = jnp.zeros((channels * SLAB, width), jnp.float32)
+    out_all, gx_all, gy_all = jax.lax.fori_loop(
         _floor_div(dmin, SLAB), _floor_div(dmax + 1, SLAB) + 1,
-        block_body, init)
+        block_body, (zero, zero, zero))
     for ch in range(channels):
-        out_c, gx_c, gy_c = final[ch]
-        out_ref[0, ch] = out_c
-        gx_ref[0, ch] = gx_c
-        gy_ref[0, ch] = gy_c
+        sl = slice(ch * SLAB, (ch + 1) * SLAB)
+        out_ref[0, ch] = out_all[sl]
+        gx_ref[0, ch] = gx_all[sl]
+        gy_ref[0, ch] = gy_all[sl]
 
 
 def _coords(grid, height, width):
