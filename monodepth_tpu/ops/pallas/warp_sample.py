@@ -107,7 +107,7 @@ def _row_pair_gather(img_ref, channels, start16, t, lane_meta):
 
 
 def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
-            out_ref, gx_ref, gy_ref, *, channels, width):
+            out_ref, *grad_refs, channels, width, with_grads):
     from jax.experimental import pallas as pl
 
     dyb = dy_ref[0]
@@ -149,31 +149,33 @@ def _kernel(img_ref, dy_ref, x0_ref, wx_ref, wy_ref,
             needed = jnp.any(m0b | m1b)
 
             def hit(carry=carry, t=t, m0b=m0b, m1b=m1b, start=start):
-                out_acc, gx_acc, gy_acc = carry
                 m0 = m0b.astype(jnp.float32)
                 m1 = m1b.astype(jnp.float32)
                 w = tile_c(m0 * (one - wyb) + m1 * wyb)
-                dm = tile_c(m1 - m0)
                 v0, v1 = _row_pair_gather(
                     img_ref, channels, start, t, lane_meta)
                 diff = v1 - v0
                 interp = v0 + wxb3 * diff
-                return (out_acc + w * interp,
-                        gx_acc + w * diff,
-                        gy_acc + dm * interp)
+                if with_grads:
+                    out_acc, gx_acc, gy_acc = carry
+                    dm = tile_c(m1 - m0)
+                    return (out_acc + w * interp,
+                            gx_acc + w * diff,
+                            gy_acc + dm * interp)
+                return (carry[0] + w * interp,)
 
             carry = jax.lax.cond(needed, hit, lambda carry=carry: carry)
         return carry
 
     zero = jnp.zeros((channels * SLAB, width), jnp.float32)
-    out_all, gx_all, gy_all = jax.lax.fori_loop(
+    init = (zero, zero, zero) if with_grads else (zero,)
+    final = jax.lax.fori_loop(
         _floor_div(dmin, SLAB), _floor_div(dmax + 1, SLAB) + 1,
-        block_body, (zero, zero, zero))
-    for ch in range(channels):
-        sl = slice(ch * SLAB, (ch + 1) * SLAB)
-        out_ref[0, ch] = out_all[sl]
-        gx_ref[0, ch] = gx_all[sl]
-        gy_ref[0, ch] = gy_all[sl]
+        block_body, init)
+    refs = (out_ref,) + grad_refs
+    for acc, ref in zip(final, refs):
+        for ch in range(channels):
+            ref[0, ch] = acc[ch * SLAB:(ch + 1) * SLAB]
 
 
 def _coords(grid, height, width):
@@ -193,8 +195,8 @@ def _coords(grid, height, width):
         x0i, y0i
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _forward(image, grid, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "with_grads"))
+def _forward(image, grid, interpret=False, with_grads=True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -221,22 +223,29 @@ def _forward(image, grid, interpret=False):
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((B, C, H, W), jnp.float32)
 
-    out, gx, gy = pl.pallas_call(
-        functools.partial(_kernel, channels=C, width=W),
+    n_out = 3 if with_grads else 1
+    outs = pl.pallas_call(
+        functools.partial(_kernel, channels=C, width=W,
+                          with_grads=with_grads),
         grid=(B, H // SLAB),
         in_specs=[spec_img, spec_row, spec_row, spec_row, spec_row],
-        out_specs=(spec_out, spec_out, spec_out),
-        out_shape=(shape, shape, shape),
+        out_specs=(spec_out,) * n_out,
+        out_shape=(shape,) * n_out,
         interpret=interpret,
     )(img_pad, dy, x0, wx, wy)
-    return out.transpose(0, 2, 3, 1), gx, gy
+    out = outs[0].transpose(0, 2, 3, 1)
+    return (out, outs[1], outs[2]) if with_grads else (out, None, None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def warp_sample(image, grid, interpret: bool = False):
     """Drop-in `grid_sample` (border, align_corners=True) as a Pallas
-    kernel. Gradient flows to `grid` only — see module docstring."""
-    out, _, _ = _forward(image, grid, interpret)
+    kernel. Gradient flows to `grid` only — see module docstring.
+
+    The primal (undifferentiated) path skips the gx/gy tap-difference
+    accumulators and outputs entirely — eval/inference pays only the
+    warp itself; under AD the custom_vjp fwd rule computes them."""
+    out, _, _ = _forward(image, grid, interpret, with_grads=False)
     return out
 
 
