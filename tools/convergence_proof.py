@@ -59,6 +59,11 @@ def main():
                    type=lambda t: t.lower() in ("1", "true", "yes"),
                    help="False isolates whether stuck scenes are "
                         "automask/min local minima")
+    p.add_argument("--augment", default=False,
+                   type=lambda t: t.lower() in ("1", "true", "yes"),
+                   help="per-step device-side color jitter (real training "
+                        "has it; adds SGD stochasticity that can free "
+                        "min-reprojection local minima)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--out", default="", type=str,
                    help="write a markdown report here")
@@ -96,9 +101,18 @@ def main():
     batch_keys = ("frames", "jitter", "K", "inv_K") + (
         ("stereo_T",) if args.mode == "stereo" else ())
 
+    aug_rng = np.random.default_rng(args.seed + 1)
+
     def batch_at(order, start):
         idx = order[start:start + args.batch]
-        return {k: scenes[k][idx] for k in batch_keys}
+        batch = {k: scenes[k][idx] for k in batch_keys}
+        if args.augment:
+            B = len(idx)
+            jit = np.ones((B, 5), np.float32)
+            jit[:, 1:4] = aug_rng.uniform(0.8, 1.2, (B, 3))
+            jit[:, 4] = aug_rng.uniform(-0.1, 0.1, B)
+            batch["jitter"] = jit
+        return batch
 
     def depth_corrs(st):
         """Per-scene Spearman(pred disparity, gt disparity), interior."""
