@@ -62,12 +62,23 @@ def main():
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = create_state(cfg, model, tx)
+    # this benchmark is per-chip by construction: on a multi-device host
+    # state+batches are committed to device 0 so jit runs there, instead
+    # of a mesh-less multi-device step that would run the Pallas warp
+    # replicated after a GSPMD all-gather (training/step.py _make_sampler)
+    # while dividing throughput by device_count
+    device = jax.devices()[0]
+    if jax.device_count() > 1:
+        print(f"bench: {jax.device_count()} devices visible; committing "
+              f"to {device} (per-chip measurement)", file=sys.stderr)
+    state = jax.device_put(state, device)
     train_step = make_train_step(model, tx, cfg, donate=False)
 
     n_scenes = 3 * cfg.batch
     scenes = make_planar_scenes(n_scenes, cfg.height, cfg.width, seed=0)
     keys = ("frames", "jitter", "K", "inv_K")
-    batches = [{k: jax.device_put(scenes[k][i:i + cfg.batch]) for k in keys}
+    batches = [{k: jax.device_put(scenes[k][i:i + cfg.batch], device)
+                for k in keys}
                for i in range(0, n_scenes, cfg.batch)]
 
     # calibrate: disparity/pose reach their training-run operating range
@@ -84,8 +95,8 @@ def main():
     _ = float(metrics["loss"])  # forces completion of the whole chain
     dt = time.perf_counter() - t0
 
-    img_per_sec = TIMED_STEPS * cfg.batch / dt
-    per_chip = img_per_sec / jax.device_count()
+    # everything ran committed to ONE device — no division by device_count
+    per_chip = TIMED_STEPS * cfg.batch / dt
     print(json.dumps({
         "metric": f"train_images_per_sec_per_chip_"
                   f"{cfg.width}x{cfg.height}_b{cfg.batch}",

@@ -138,10 +138,11 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     def put(batch):
         if sharding is None:
             return jax.device_put(batch)
-        if jax.process_count() > 1:
-            return {k: jax.make_array_from_process_local_data(sharding[k], v)
-                    for k, v in batch.items()}
-        return jax.device_put(batch, sharding)
+        # single place for multi-host assembly (local import: mesh is a
+        # parallel-layer module and data must not depend on it at import)
+        from monodepth_tpu.parallel.mesh import put_global
+
+        return put_global(batch, sharding)
 
     for batch in iterator:
         queue.append(put(batch))

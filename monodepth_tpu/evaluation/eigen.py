@@ -78,8 +78,13 @@ def load_ground_truth(datapath: str, lines: Sequence[str],
         folder, frame, side = kitti.parse_split_line(line)
         cache = None
         if cache_dir:
+            # datapath is part of the key: the default cache dir is shared
+            # (model_test.py --gt_cache), and without it an eval against a
+            # different tree (synthetic vs real KITTI) would silently serve
+            # the previous dataset's projections
             key = hashlib.md5(
-                f"{folder}|{frame}|{side}|native_vel".encode()).hexdigest()
+                f"{os.path.abspath(datapath)}|{folder}|{frame}|{side}|"
+                f"native_vel".encode()).hexdigest()
             cache = os.path.join(cache_dir, key + ".npy")
             if os.path.exists(cache):
                 try:

@@ -28,6 +28,14 @@ METRIC_NAMES = ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")
 GT_HEIGHT, GT_WIDTH = 375, 1242
 CROP = (153, 371, 44, 1197)  # Garg crop rows/cols (model_metric.py:96)
 
+# Host-side constant: a traced `.at[...].set` scatter here made XLA
+# constant-fold a f32[375,1242] scatter at every eval compile (the
+# ">1s constant folding" warning in the round-2 multichip dryrun).
+import numpy as _np
+
+_CROP_MASK = _np.zeros((GT_HEIGHT, GT_WIDTH), _np.float32)
+_CROP_MASK[CROP[0]:CROP[1], CROP[2]:CROP[3]] = 1.0
+
 
 def _masked_mean(x: Array, mask: Array) -> Array:
     denom = jnp.maximum(mask.sum(), 1.0)
@@ -75,9 +83,7 @@ def training_depth_metric(depth_pred: Array, depth_gt: Array) -> dict:
     pred = jax.lax.stop_gradient(pred)
 
     mask = (depth_gt > 0).astype(pred.dtype)
-    crop = jnp.zeros((GT_HEIGHT, GT_WIDTH), pred.dtype)
-    crop = crop.at[CROP[0]:CROP[1], CROP[2]:CROP[3]].set(1.0)
-    mask = mask * crop[None]
+    mask = mask * jnp.asarray(_CROP_MASK, pred.dtype)[None]
 
     ratio = masked_median_low(depth_gt, mask) / masked_median_low(pred, mask)
     pred = jnp.clip(pred * ratio, 1e-3, 80.0)

@@ -58,8 +58,6 @@ def monodepth_loss(
     scales: Sequence[int] = (0, 1, 2, 3),
     disp_smoothness: float = 1e-3,
     use_automasking: bool = True,
-    reprojection_fn=None,
-    identity_fn=None,
 ) -> tuple[Array, dict]:
     """Assemble the total training loss.
 
@@ -67,27 +65,25 @@ def monodepth_loss(
     warped_colors:  scale -> per-source-frame full-res warps [B, H, W, 3]
     source_colors:  per-source-frame full-res *unwarped* colors [B, H, W, 3]
     color_pyramid:  scale -> target color at that scale (index 0 = full res)
-    reprojection_fn / identity_fn: photometric error (pred, target) ->
-        [B,H,W,1]; default jnp SSIM+L1. The split exists so the Pallas
-        fused kernel (ops/pallas) can serve the never-differentiated
-        identity term and eval paths while the differentiated warped
-        terms keep XLA's residual-caching autodiff (see training/step.py).
+    Photometric error is the jnp SSIM+L1 (ops/ssim.py) — XLA fuses this
+    VPU-bound elementwise class optimally (a Pallas version only matched
+    it, 0.72 vs 0.76 ms; docs/PERF.md).
     Returns (scalar loss, aux dict of per-scale terms).
     """
-    reprojection_fn = reprojection_fn or reprojection_error
-    identity_fn = identity_fn or reprojection_fn
     target = color_pyramid[0]
 
     identity = None
     if use_automasking:
         identity = jnp.concatenate(
-            [identity_fn(src, target) for src in source_colors], axis=-1)
+            [reprojection_error(src, target) for src in source_colors],
+            axis=-1)
 
     aux = {}
     total = 0.0
     for scale in scales:
         reproj = jnp.concatenate(
-            [reprojection_fn(w, target) for w in warped_colors[scale]], axis=-1)
+            [reprojection_error(w, target) for w in warped_colors[scale]],
+            axis=-1)
         rng, sub = jax.random.split(rng)
         photometric = min_reprojection(reproj, identity, sub).mean()
 

@@ -49,16 +49,6 @@ from monodepth_tpu.training.state import TrainState
 Array = jax.Array
 
 
-def _loss_fns(cfg: Config, train: bool):
-    """(reprojection_fn, identity_fn) for monodepth_loss — always the
-    jnp path. The fused Pallas SSIM+L1 kernel was measured at 0.72 ms vs
-    0.76 ms for XLA's own fusion of this op (v5e-1, 640x192 b4) and is
-    retired from the step (ops/pallas/reprojection.py STATUS note);
-    Pallas earns its keep on the warp sampler below instead."""
-    del cfg, train
-    return None, None
-
-
 def _make_sampler(cfg: Config, mesh):
     """The warp sampler for this config/mesh (the step's hot op —
     measurements in tools/bench_gather.py and docs/PERF.md):
@@ -86,15 +76,17 @@ def _make_sampler(cfg: Config, mesh):
         if mesh is not None and mesh.shape.get("data", 1) > 1:
             from jax.sharding import PartitionSpec as P
 
-            try:
-                from jax.experimental.shard_map import shard_map
-            except ImportError:  # newer jax moved it
-                from jax import shard_map
-
             spec = P("data")
-            base_sample = shard_map(
-                base_sample, mesh=mesh, in_specs=(spec, spec),
-                out_specs=spec, check_rep=False)
+            try:  # stable API (jax >= 0.6): check_vma replaced check_rep
+                base_sample = jax.shard_map(
+                    base_sample, mesh=mesh, in_specs=(spec, spec),
+                    out_specs=spec, check_vma=False)
+            except AttributeError:  # old jax: experimental location
+                from jax.experimental.shard_map import shard_map
+
+                base_sample = shard_map(
+                    base_sample, mesh=mesh, in_specs=(spec, spec),
+                    out_specs=spec, check_rep=False)
     else:
         base_sample = grid_sample
     return jax.checkpoint(base_sample) if cfg.remat else base_sample
@@ -178,12 +170,11 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
 
 
 def _loss_from_outputs(out, rng, cfg: Config, train: bool):
-    reprojection_fn, identity_fn = _loss_fns(cfg, train)
+    del train  # train/eval share the loss graph (reference does too)
     return monodepth_loss(
         out["disps"], out["warped"], out["sources"], out["target_pyr"], rng,
         scales=cfg.scales, disp_smoothness=cfg.disp_smoothness,
-        use_automasking=cfg.use_automasking,
-        reprojection_fn=reprojection_fn, identity_fn=identity_fn)
+        use_automasking=cfg.use_automasking)
 
 
 def _metrics(loss, out, batch, with_gt: bool = True):
