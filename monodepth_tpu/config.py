@@ -57,6 +57,8 @@ class Config:
     seed: int = 42
     log_every: int = 50                  # steps between host-side metric fetches
     ckpt_every: int = 2                  # epochs between checkpoints (reference saved every 2)
+    ckpt_keep: int = 3                   # keep-last-N full states + exports (0 = keep all,
+                                         # the reference's unbounded layout)
     resume: bool = False
     profile_dir: str = ""                # non-empty -> jax.profiler traces
     save_root: str = "./model_save"
@@ -191,6 +193,7 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--seed", default=d.seed, type=int)
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--ckpt_every", default=d.ckpt_every, type=int)
+    p.add_argument("--ckpt_keep", default=d.ckpt_keep, type=int)
     p.add_argument("--resume", default=d.resume, type=_parse_bool)
     p.add_argument("--profile_dir", default=d.profile_dir, type=str)
     p.add_argument("--save_root", default=d.save_root, type=str)

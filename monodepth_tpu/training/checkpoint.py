@@ -24,8 +24,15 @@ from monodepth_tpu.utils.serialization import save_npz
 
 
 class Checkpointer:
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, keep: int = 0):
+        """`keep` > 0 bounds disk: after each save only the newest `keep`
+        full TrainStates (and their per-module npz exports) survive — a
+        24-epoch default run otherwise retains 12 full states incl. Adam
+        moments. The newest checkpoint is always among the kept, so the
+        final save of a run is never pruned. 0 = keep everything (the
+        reference's behavior, model_tool/logger.py:60-68)."""
         self.directory = os.path.abspath(directory)
+        self.keep = keep
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
 
@@ -36,7 +43,23 @@ class Checkpointer:
         path = self._path(epoch)
         self._ckpt.save(path, jax.device_get(state), force=True)
         self._ckpt.wait_until_finished()
+        self._prune()
         return path
+
+    def _prune(self) -> None:
+        if self.keep <= 0:
+            return
+        import shutil
+
+        epochs = sorted(
+            int(m.group(1)) for name in os.listdir(self.directory)
+            if (m := re.fullmatch(r"state_(\d+)", name)))
+        for old in epochs[:-self.keep]:
+            shutil.rmtree(self._path(old), ignore_errors=True)
+            # matching per-module exports (named <module><epoch+1>.npz)
+            for name in os.listdir(self.directory):
+                if re.fullmatch(rf"[a-z_]+{old + 1}\.npz", name):
+                    os.remove(os.path.join(self.directory, name))
 
     def latest_epoch(self) -> Optional[int]:
         epochs = [int(m.group(1))

@@ -190,7 +190,7 @@ class Trainer:
         enable_compile_cache(os.path.join(cfg.save_root, ".jax_cache"))
 
         self.save_dir = os.path.join(cfg.save_root, cfg.save)
-        self.checkpointer = Checkpointer(self.save_dir)
+        self.checkpointer = Checkpointer(self.save_dir, keep=cfg.ckpt_keep)
         self.start_epoch = 0
         if cfg.resume and self.checkpointer.latest_epoch() is not None:
             self.state, restored = self.checkpointer.restore(self.state)

@@ -26,6 +26,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (2-process jax.distributed "
+        "bring-up); deselect with -m 'not slow'")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -1,0 +1,102 @@
+"""Subprocess worker for the genuine multi-process `jax.distributed` test.
+
+Each process sees 4 virtual CPU devices (XLA_FLAGS set by the parent);
+with --num_processes 2 the two workers form one 8-device slice via
+`jax.distributed.initialize`, then run EXACTLY the production multi-host
+path: per-process `Loader` slices -> `prefetch_to_device` with
+NamedShardings (which routes through `parallel.mesh.put_global`'s
+`jax.make_array_from_process_local_data` branch) -> one jitted train
+step over the global ("data", "spatial") mesh. With --num_processes 1
+the same code is the single-process oracle (8 local devices); losses
+must match (same global batch, same mesh, same seeds).
+
+Run by tests/test_distributed.py — not a pytest module itself.
+"""
+
+import argparse
+import json
+import os
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # sitecustomize latches axon
+    cache = os.environ.get("MONODEPTH_TEST_CACHE")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", default="127.0.0.1:9911")
+    ap.add_argument("--num_processes", type=int, default=1)
+    ap.add_argument("--process_id", type=int, default=0)
+    ap.add_argument("--datapath", required=True)
+    ap.add_argument("--splits", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    if args.num_processes > 1:
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+
+    from monodepth_tpu.config import Config
+    from monodepth_tpu.data.dataset import KittiDataset
+    from monodepth_tpu.data.kitti import readlines
+    from monodepth_tpu.data.pipeline import Loader, prefetch_to_device
+    from monodepth_tpu.parallel.mesh import (
+        batch_shardings,
+        make_mesh,
+        replicate,
+    )
+    from monodepth_tpu.training.state import (
+        build_model,
+        create_state,
+        make_optimizer,
+    )
+    from monodepth_tpu.training.step import make_train_step
+
+    cfg = Config(datapath=args.datapath, splits=args.splits,
+                 height=32, width=64, batch=8, scales=(0, 1),
+                 precision="f32", weight_init=False, use_pallas=False,
+                 num_workers=2).validate()
+    lines = readlines(os.path.join(args.splits, cfg.datatype,
+                                   "train_files.txt"))
+    ds = KittiDataset(cfg.datapath, lines, is_training=True,
+                      frame_ids=cfg.frame_ids, height=cfg.height,
+                      width=cfg.width, load_depth=False)
+    loader = Loader(ds, batch_size=cfg.batch, shuffle=True,
+                    num_workers=cfg.num_workers, seed=cfg.seed)
+
+    mesh = make_mesh()  # all 8 global devices on the data axis
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=4)
+    state = replicate(mesh, create_state(cfg, model, tx))
+    step = make_train_step(model, tx, cfg,
+                           mesh=mesh if mesh.devices.size > 1 else None)
+
+    batch = next(loader.epoch(0))
+    assert batch["frames"].shape[0] == cfg.batch // args.num_processes, \
+        batch["frames"].shape
+    shardings = batch_shardings(mesh, batch)
+    (global_batch,) = list(prefetch_to_device(iter([batch]), size=1,
+                                              sharding=shardings))
+    assert global_batch["frames"].shape[0] == cfg.batch  # global view
+
+    state, metrics = step(state, global_batch)
+    loss = float(metrics["loss"])
+    loader.close()
+
+    if jax.process_index() == 0:
+        with open(args.out, "w") as f:
+            json.dump({"loss": loss,
+                       "devices": jax.device_count(),
+                       "local_devices": jax.local_device_count(),
+                       "processes": jax.process_count()}, f)
+    print(f"worker {args.process_id}: loss={loss:.6f} "
+          f"devices={jax.device_count()} local={jax.local_device_count()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Genuine 2-process `jax.distributed` run on CPU (SURVEY.md §5.8).
+
+The round-2 suite contract-tested the per-process Loader slicing and the
+`put_global` assembly in ONE process; this spawns two real processes
+(local coordinator, 4 virtual devices each -> one 8-device slice) and
+asserts the multi-host train-step loss equals the single-process value,
+executing `jax.make_array_from_process_local_data` for real
+(`parallel/mesh.py put_global` via `prefetch_to_device`).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from monodepth_tpu.data.synthetic import make_kitti_tree, make_split_files
+
+_WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
+
+
+@pytest.fixture(scope="module")
+def kitti_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti"))
+    make_kitti_tree(root, num_frames=8, image_hw=(96, 320))
+    splits = make_split_files(root, num_frames=8)
+    return root, splits
+
+
+def _worker_env() -> dict:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["MONODEPTH_TEST_CACHE"] = _CACHE
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    # never inherit this test process's distributed/coordinator state
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+        env.pop(k, None)
+    return env
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
+    root, splits = kitti_tree
+    env = _worker_env()
+    base = [sys.executable, _WORKER, "--datapath", root, "--splits", splits]
+
+    # single-process oracle: one worker, 8 local devices
+    env8 = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    single_out = str(tmp_path / "single.json")
+    res = subprocess.run(base + ["--out", single_out], env=env8,
+                         capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stdout + res.stderr
+
+    # the genuine 2-process slice
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = []
+    outs = [str(tmp_path / f"multi{i}.json") for i in range(2)]
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            base + ["--coordinator", coord, "--num_processes", "2",
+                    "--process_id", str(i), "--out", outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1200)
+        logs.append(out)
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    with open(single_out) as f:
+        single = json.load(f)
+    with open(outs[0]) as f:
+        multi = json.load(f)
+
+    assert single["devices"] == multi["devices"] == 8
+    assert single["processes"] == 1 and multi["processes"] == 2
+    assert multi["local_devices"] == 4
+    # same global batch, same mesh, same seeds -> same loss (fp reduction
+    # order may differ across process layouts; tolerance is loose-tight)
+    assert multi["loss"] == pytest.approx(single["loss"], rel=1e-4), \
+        (single, multi, "\n".join(logs))

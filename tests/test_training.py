@@ -148,6 +148,25 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert "encoder1.npz" in names and "decoder1.npz" in names
 
 
+def test_checkpoint_retention(setup, tmp_path):
+    """keep=2: only the newest 2 states + matching exports survive; the
+    latest save is never pruned."""
+    import os
+
+    model, tx, state = setup
+    ckpt = Checkpointer(str(tmp_path), keep=2)
+    for epoch in range(4):
+        ckpt.save(epoch, state)
+        ckpt.export_modules(epoch, state)
+    names = set(os.listdir(tmp_path))
+    assert "state_0002" in names and "state_0003" in names
+    assert "state_0000" not in names and "state_0001" not in names
+    assert "encoder3.npz" in names and "encoder4.npz" in names
+    assert "encoder1.npz" not in names and "encoder2.npz" not in names
+    restored, epoch = ckpt.restore(state)
+    assert epoch == 3
+
+
 def test_bn_stats_update_only_in_train(setup):
     model, tx, state = setup
     step = make_train_step(model, tx, CFG, donate=False)
