@@ -54,11 +54,18 @@ def main():
     p.add_argument("--batch", default=12, type=int)
     p.add_argument("--remat", default=False,
                    type=lambda t: t.lower() in ("1", "true", "yes"))
+    p.add_argument("--use_pallas", default=True,
+                   type=lambda t: t.lower() in ("1", "true", "yes"))
     p.add_argument("--warmup", default=WARMUP_STEPS, type=int)
+    p.add_argument("--max_shift_px", default=14.0, type=float,
+                   help="scene displacement scale; 40-60 brackets the "
+                        "worst realistic KITTI near-field regime "
+                        "(docs/PERF.md large-displacement row)")
     args = p.parse_args()
 
     cfg = Config(height=args.height, width=args.width, batch=args.batch,
-                 remat=args.remat, weight_init=False)  # bf16 + Pallas warp
+                 remat=args.remat, use_pallas=args.use_pallas,
+                 weight_init=False)  # bf16 (+ Pallas warp by default)
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=1000)
     state = create_state(cfg, model, tx)
@@ -75,7 +82,8 @@ def main():
     train_step = make_train_step(model, tx, cfg, donate=False)
 
     n_scenes = 3 * cfg.batch
-    scenes = make_planar_scenes(n_scenes, cfg.height, cfg.width, seed=0)
+    scenes = make_planar_scenes(n_scenes, cfg.height, cfg.width, seed=0,
+                                max_shift_px=args.max_shift_px)
     keys = ("frames", "jitter", "K", "inv_K")
     batches = [{k: jax.device_put(scenes[k][i:i + cfg.batch], device)
                 for k in keys}

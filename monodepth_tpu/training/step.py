@@ -61,14 +61,20 @@ def _make_sampler(cfg: Config, mesh):
       is shard_mapped over the "data" axis — GSPMD has no partitioning
       rule for pallas_call and would otherwise ALL-GATHER the inputs and
       run it fully replicated on every chip (verified in compiled HLO).
-    - jnp "packed" gather otherwise (CPU, odd shapes): fastest exact XLA
-      form at every resolution; GSPMD partitions its batching-dim
-      gathers natively.
+    - jnp "packed" gather otherwise (CPU, odd shapes, or a mesh with
+      spatial > 1): fastest exact XLA form at every resolution; GSPMD
+      partitions its batching-dim gathers natively. Under spatial
+      sharding the kernel would force a data-only reshard (all-gather
+      of the H-sharded frames + fully replicated warp per spatial
+      group — defeating exactly the memory savings spatial sharding
+      exists for), so the packed gather is the right form there.
     """
     from monodepth_tpu.ops.pallas import warp_sample as _ws
 
     on_tpu = jax.default_backend() == "tpu"
+    spatial = mesh.shape.get("spatial", 1) if mesh is not None else 1
     if (cfg.use_pallas and _ws.supported(cfg.height, cfg.width)
+            and spatial == 1
             and (on_tpu or cfg.pallas_interpret)):
         def base_sample(img, grd, _interp=not on_tpu):
             return _ws.warp_sample(img, grd, _interp)

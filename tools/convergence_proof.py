@@ -64,18 +64,34 @@ def main():
                    help="per-step device-side color jitter (real training "
                         "has it; adds SGD stochasticity that can free "
                         "min-reprojection local minima)")
+    p.add_argument("--frames", default="", type=str,
+                   help="mono-mode temporal frame ids, e.g. '0 1' or "
+                        "'0 -1' (default '0 -1 1'). Single-source runs "
+                        "isolate the invert (past) vs no-invert (future) "
+                        "pose wiring when chasing sign asymmetries")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--precision", default="", choices=["", "bf16", "f32"],
+                   help="compute dtype; default bf16 on TPU / f32 on CPU "
+                        "(matches real training). Explicit f32 on TPU "
+                        "isolates whether a plateau is bf16-rounding")
     p.add_argument("--out", default="", type=str,
                    help="write a markdown report here")
     args = p.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
-    frame_ids = (0, "s") if args.mode == "stereo" else (0, -1, 1)
+    if args.mode == "stereo":
+        frame_ids = (0, "s")
+    elif args.frames:
+        frame_ids = tuple(int(f) for f in args.frames.split())
+        assert frame_ids[0] == 0 and set(frame_ids) <= {0, -1, 1}
+    else:
+        frame_ids = (0, -1, 1)
+    precision = args.precision or ("bf16" if on_tpu else "f32")
     cfg = Config(height=args.height, width=args.width, batch=args.batch,
                  learning_rate=args.learning_rate, seed=args.seed,
                  weight_init=False, use_pallas=False, frame_ids=frame_ids,
                  use_automasking=args.use_automasking,
-                 precision="bf16" if on_tpu else "f32",
+                 precision=precision,
                  train_gt_metrics=False)
     print(f">>> backend {jax.default_backend()}, "
           f"{args.scenes} scenes at {args.height}x{args.width}, "
@@ -83,6 +99,9 @@ def main():
 
     scenes = make_planar_scenes(args.scenes, args.height, args.width,
                                 seed=args.seed)
+    if args.mode == "mono" and frame_ids != (0, -1, 1):
+        slot = {0: 0, -1: 1, 1: 2}
+        scenes["frames"] = scenes["frames"][:, [slot[f] for f in frame_ids]]
     if args.mode == "stereo":
         # slot 2 is the +tx view; feed it as the "s" frame with its GT
         # fixed-baseline transform (the training step consumes stereo_T
@@ -93,7 +112,15 @@ def main():
         stereo_T[:, 0, 3] = scenes["gt_tx"]
         scenes["stereo_T"] = stereo_T
     model = build_model(cfg)
-    tx = make_optimizer(cfg, steps_per_epoch=max(args.scenes // args.batch, 1))
+    # Constant lr for the whole proof: steps_per_epoch=steps keeps the
+    # StepLR(15 epochs) decay from ever firing. Passing the literal
+    # scenes/batch (= 4 steps/"epoch") decayed lr 10x every 60 steps —
+    # by step ~180 lr was 1e-7 and the run was frozen, which is exactly
+    # why the round-2 mono proof plateaued at Spearman 0.59 "across runs
+    # and step counts" (docs/convergence_mono.md history). The schedule
+    # is an artifact of the reference's 26k-image epochs (loader.py:
+    # 106-108), not part of what this proof demonstrates.
+    tx = make_optimizer(cfg, steps_per_epoch=args.steps)
     state = create_state(cfg, model, tx)
     train_step = make_train_step(model, tx, cfg)
     infer = make_infer_step(model, cfg)
@@ -174,6 +201,8 @@ def main():
         "resolution": f"{args.height}x{args.width}",
         "batch": args.batch,
         "backend": jax.default_backend(),
+        "precision": precision,
+        "frame_ids": list(map(str, frame_ids)),
         "loss_first10": round(loss0, 4),
         "loss_last10": round(loss1, 4),
         "loss_ratio": round(loss1 / loss0, 4),
@@ -182,6 +211,9 @@ def main():
         "rank_corr_trained_min": round(float(corr1.min()), 4),
         "train_seconds": round(train_time, 1),
         "pass": bool(ok_loss and ok_corr),
+        # per-scene detail so plateaus can be compared scene-by-scene
+        # against the torch oracle (tools/torch_oracle_mono.py)
+        "per_scene_corr": [round(float(c), 3) for c in corr1],
     }
     print(json.dumps(result))
 
@@ -200,7 +232,10 @@ def main():
                 f"{args.steps} --height {args.height} --width {args.width} "
                 f"--batch {args.batch} --scenes {args.scenes}`\n\n"
                 "| quantity | value |\n|---|---|\n"
-                + "".join(f"| {k} | {v} |\n" for k, v in result.items())
+                + "".join(f"| {k} | {v} |\n" for k, v in result.items()
+                          if k != "per_scene_corr")
+                + "\nPer-scene Spearman: "
+                + " ".join(str(c) for c in result["per_scene_corr"]) + "\n"
                 + "\nSpearman is scale-free (monodepth depth is only "
                 "identifiable up to global scale). Untrained correlation "
                 "is the null baseline.\n")
