@@ -63,6 +63,14 @@ class Config:
     profile_dir: str = ""                # non-empty -> jax.profiler traces
     save_root: str = "./model_save"
     use_pallas: bool = True              # use Pallas kernels where available
+    warp_guard: bool = False             # lax.cond each warp to the flat-cost packed
+                                         # gather when the field is degenerate (mean
+                                         # per-slab dy span > ~40 px). Costs ~23%
+                                         # steady-state throughput (119 -> 91 img/s
+                                         # measured — the cond is a fusion barrier),
+                                         # so default off: the warp_span telemetry
+                                         # metric + loop warning covers divergence
+                                         # detection for attended runs
     pallas_interpret: bool = False       # run Pallas kernels in interpret mode off-TPU
                                          # (CPU-mesh dryruns/tests exercise the kernel
                                          # code path; never set on real hardware)
@@ -198,6 +206,7 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--profile_dir", default=d.profile_dir, type=str)
     p.add_argument("--save_root", default=d.save_root, type=str)
     p.add_argument("--use_pallas", default=d.use_pallas, type=_parse_bool)
+    p.add_argument("--warp_guard", default=d.warp_guard, type=_parse_bool)
     p.add_argument("--pallas_interpret", default=d.pallas_interpret, type=_parse_bool)
     p.add_argument("--train_gt_metrics", default=d.train_gt_metrics, type=_parse_bool)
     p.add_argument("--remat", default=d.remat, type=_parse_bool)

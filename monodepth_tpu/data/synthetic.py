@@ -113,7 +113,7 @@ def _smooth_texture(rng: np.random.Generator, height: int, width: int,
 
 def make_planar_scenes(num_scenes: int, height: int, width: int,
                        seed: int = 0, max_shift_px: float = 14.0,
-                       texture_cell: int = 4):
+                       texture_cell: int = 4, tx_sign: float = 0.0):
     """Multi-view scenes with EXACT self-supervised geometry, pure numpy.
 
     Each scene is a slanted textured plane: ground-truth inverse depth is
@@ -168,8 +168,19 @@ def make_planar_scenes(num_scenes: int, height: int, width: int,
         b = rng.choice([-1, 1]) * rng.uniform(0.15, 0.4) * a / width
         c = rng.choice([-1, 1]) * rng.uniform(0.15, 0.4) * a / height
         d = a + b * xs[None, :] + c * ys[:, None]  # [H, W]
-        # translation sized so the max GT warp shift is ~max_shift_px
-        tx = float(rng.choice([-1.0, 1.0])) * max_shift_px / (fx * d.max())
+        # translation sized so the max GT warp shift is ~max_shift_px.
+        # tx_sign=0 randomizes the direction per scene; ±1 forces it.
+        # Random per-scene signs are ADVERSARIAL for joint mono training:
+        # the shared pose net locks onto one sign early (flipping later
+        # means passing through tx=0, where the warp is the identity and
+        # automasking zeroes the gradient), so the opposite-sign half of
+        # the dataset collapses (measured: 16/16 gt_tx>0 scenes stuck at
+        # Spearman ~0.2 while 16/16 gt_tx<0 hit ~0.99, docs/
+        # convergence_mono.md). Real KITTI has a consistent ego-motion
+        # direction (the car drives forward), so a consistent-sign
+        # benchmark is the production-realistic one.
+        sign = float(tx_sign) if tx_sign else float(rng.choice([-1.0, 1.0]))
+        tx = sign * max_shift_px / (fx * d.max())
 
         # motion must be large vs texture smoothness: if the identity
         # (unwarped) photometric error is already small, automasking's

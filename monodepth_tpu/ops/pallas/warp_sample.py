@@ -237,6 +237,69 @@ def _forward(image, grid, interpret=False, with_grads=True):
     return (out, outs[1], outs[2]) if with_grads else (out, None, None)
 
 
+# Crossover (mean per-slab dy span, px) above which the packed XLA
+# gather beats the candidate loop. The kernel's outer fori_loop runs
+# ~span/8+2 aligned block reads per slab, so its cost is linear in the
+# MEAN span while the packed gather is flat (~31-53 ms/warp at 640x192,
+# docs/PERF.md). Real warp fields — even ~60 px displacements — have
+# spans of a few px (displacement varies smoothly within 8 rows);
+# only degenerate fields (uniform-random grids, diverged training)
+# exceed tens of px.
+GUARD_SPAN = 40.0
+
+
+def dy_span(grid):
+    """Mean per-slab vertical-index span (px) of a warp grid — the
+    quantity the candidate kernel's cost is linear in (module docstring;
+    per-warp cost ≈ 2.6 + 0.06*span ms at 640x192 b12, docs/PERF.md).
+    One elementwise pass + a reduce, cheap enough to compute every step:
+    the train step reports it as the `warp_span` telemetry metric so a
+    diverged run (wild grids → slow candidate loops) is visible in the
+    logs instead of silently 10x-ing the step (training/loop.py warns
+    above GUARD_SPAN). Requires H % 8 == 0 (kernel-supported shapes)."""
+    B, H, W, _ = grid.shape
+    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2)
+    dy = y0 - jnp.arange(H, dtype=y0.dtype)[None, :, None]
+    slabs = dy.reshape(B, H // SLAB, SLAB, W)
+    return jnp.mean(jnp.max(slabs, axis=(2, 3))
+                    - jnp.min(slabs, axis=(2, 3)))
+
+
+def warp_sample_guarded(image, grid, interpret: bool = False,
+                        span_threshold: float = GUARD_SPAN):
+    """`warp_sample` with a runtime escape hatch: when the displacement
+    field's mean per-slab vertical span exceeds `span_threshold`, a
+    `lax.cond` routes the warp through the flat-cost jnp `grid_sample`
+    (packed gather) instead. Same exactness either way; both branches
+    are differentiable (grid cotangent identical; the Pallas branch's
+    image cotangent is zero by contract — callers already require that).
+
+    OPT-IN (`--warp_guard true`), not the default: the cond is NOT free —
+    steady-state 640x192 b12 train drops 119.1 -> 91.1 img/s/chip
+    (~101 -> ~132 ms/step, measured round 3) because each of the 8
+    per-step conds is a fusion barrier that materializes its operands
+    and serializes against the span reduction. Real training fields sit
+    at span ~1-3 px from step 0 (displacement varies smoothly inside 8
+    rows even for ~60 px warps), so the default hot path runs the kernel
+    unconditionally and surfaces `dy_span` as the `warp_span` telemetry
+    metric instead — divergence becomes a logged warning, not a silent
+    slowdown. Use the guard for unattended runs where a diverged step
+    must keep flat cost."""
+    from monodepth_tpu.ops.sampling import grid_sample as _gs
+
+    B, H, W, _ = image.shape
+    if grid.shape != (B, H, W, 2):
+        raise ValueError(f"warp_sample needs grid [B, H, W, 2] matching "
+                         f"the image; got image {image.shape}, "
+                         f"grid {grid.shape}")
+    return jax.lax.cond(
+        dy_span(grid) <= span_threshold,
+        lambda img, grd: warp_sample(img, grd, interpret),
+        lambda img, grd: _gs(img, grd),
+        image, grid)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def warp_sample(image, grid, interpret: bool = False):
     """Drop-in `grid_sample` (border, align_corners=True) as a Pallas

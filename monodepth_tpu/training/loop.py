@@ -225,6 +225,26 @@ class Trainer:
             yield first
             yield from batches
 
+        span_warned = False
+
+        def check_span(means):
+            # warp_span telemetry (step.apply_and_warp): the Pallas
+            # candidate kernel's cost is linear in this span; > ~40 px
+            # means the run has diverged into the regime where the
+            # packed XLA gather would be faster (docs/PERF.md). Warning
+            # instead of a per-warp lax.cond guard: the cond was
+            # measured at ~23% steady-state throughput (--warp_guard
+            # opts back into it for unattended runs).
+            nonlocal span_warned
+            span = means.get("warp_span")
+            if span is not None and span > 40.0 and not span_warned:
+                span_warned = True
+                print(f">>> WARNING: warp dy-span {span:.0f} px — "
+                      f"displacement fields far outside the Pallas "
+                      f"kernel's fast regime (diverged training?); "
+                      f"--warp_guard true or --use_pallas false would "
+                      f"keep the step's cost flat")
+
         for step, batch in enumerate(
                 prefetch_to_device(chain(), cfg.prefetch, shardings)):
             if training:
@@ -239,9 +259,12 @@ class Trainer:
                 print(f"    epoch {epoch} step {(step + 1) * K}/"
                       f"{len(loader)} loss {means['loss']:.4f} "
                       f"({images / dt:.1f} img/s)")
+                check_span(means)
         jax.block_until_ready(self.state.params if training else meter.sums)
         means = meter.means()
         means["img_per_sec"] = images / max(time.perf_counter() - t0, 1e-9)
+        if training:
+            check_span(means)
         return means
 
     def train(self):

@@ -76,8 +76,16 @@ def _make_sampler(cfg: Config, mesh):
     if (cfg.use_pallas and _ws.supported(cfg.height, cfg.width)
             and spatial == 1
             and (on_tpu or cfg.pallas_interpret)):
-        def base_sample(img, grd, _interp=not on_tpu):
-            return _ws.warp_sample(img, grd, _interp)
+        # --warp_guard routes degenerate fields (mean per-slab dy span
+        # > ~40 px — a diverged net) through the flat-cost packed gather
+        # via lax.cond; measured at 119.1 -> 91.1 img/s steady-state
+        # (the cond is a per-warp fusion barrier), so the default is the
+        # bare kernel + the warp_span telemetry metric (apply_and_warp).
+        fn = (_ws.warp_sample_guarded if cfg.warp_guard
+              else _ws.warp_sample)
+
+        def base_sample(img, grd, _interp=not on_tpu, _fn=fn):
+            return _fn(img, grd, _interp)
 
         if mesh is not None and mesh.shape.get("data", 1) > 1:
             from jax.sharding import PartitionSpec as P
@@ -93,9 +101,12 @@ def _make_sampler(cfg: Config, mesh):
                 base_sample = shard_map(
                     base_sample, mesh=mesh, in_specs=(spec, spec),
                     out_specs=spec, check_rep=False)
+        sampler = base_sample
+        pallas = True
     else:
-        base_sample = grid_sample
-    return jax.checkpoint(base_sample) if cfg.remat else base_sample
+        sampler = grid_sample
+        pallas = False
+    return (jax.checkpoint(sampler) if cfg.remat else sampler), pallas
 
 
 def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
@@ -139,10 +150,11 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
                 transforms[fid] = transform_from_parameters(
                     aa, t, invert=model.invert_for_frame(fid))
 
-    sample = _make_sampler(cfg, mesh)
+    sample, pallas_active = _make_sampler(cfg, mesh)
 
     warped: Dict[int, list] = {}
     depth0 = None
+    warp_span = None
     for scale in cfg.scales:
         disp_full = resize_bilinear(disps[scale], H, W, align_corners=False)
         _, depth = disparity_to_depth(disp_full, cfg.min_depth, cfg.max_depth)
@@ -162,6 +174,17 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
             else:
                 T = transforms[fid]
             grid = warp_grid(depth, inv_K, K, T)
+            if pallas_active and scale == 0:
+                # telemetry: the candidate kernel's cost is linear in
+                # this span (warp_sample.dy_span); scale-0 grids are
+                # representative of all scales (full-res warp). Logged
+                # per step, warned on in the loop — a diverged run shows
+                # up in metrics.jsonl instead of silently slowing 10x.
+                from monodepth_tpu.ops.pallas.warp_sample import dy_span
+
+                s = dy_span(grid)
+                warp_span = s if warp_span is None \
+                    else jnp.maximum(warp_span, s)
             warps.append(sample(src, grid))
         warped[scale] = warps
 
@@ -172,6 +195,7 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
         "target_pyr": pyramid(target, max(cfg.scales) + 1),
         "depth0": depth0,
         "batch_stats": new_batch_stats,
+        "warp_span": warp_span,
     }
 
 
@@ -190,6 +214,8 @@ def _metrics(loss, out, batch, with_gt: bool = True):
     train step once nothing else dominates. Validation always reports the
     full table (the reference's console log, model_tool/logger.py:27)."""
     metrics = {"loss": loss}
+    if out.get("warp_span") is not None:
+        metrics["warp_span"] = out["warp_span"]
     if with_gt and "depth_gt" in batch:
         metrics.update(training_depth_metric(out["depth0"], batch["depth_gt"]))
     return metrics

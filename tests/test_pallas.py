@@ -101,3 +101,49 @@ def test_warp_sample_rejects_mismatched_grid(rng):
     grid = jnp.zeros((1, 16, 128, 2), jnp.float32)
     with pytest.raises(ValueError, match="matching"):
         warp_sample(img, grid, True)
+
+
+def test_warp_sample_guarded_both_regimes(rng):
+    """The span guard must be output-invisible: smooth fields (kernel
+    branch) and uniform-random fields (packed-gather branch — mean
+    per-slab dy span far above GUARD_SPAN) both match grid_sample
+    exactly, fwd and dgrid."""
+    from monodepth_tpu.ops.pallas.warp_sample import warp_sample_guarded
+
+    B, H, W = 2, 16, 128
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    smooth = jnp.asarray(_warp_grid_np(rng, B, H, W, wild_entry=False))
+    wild = jnp.asarray(rng.uniform(-1.0, 1.0, (B, H, W, 2)).astype(np.float32))
+    for grid in (smooth, wild):
+        ref = grid_sample(img, grid)
+        out = warp_sample_guarded(img, grid, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+        d1 = jax.grad(lambda g: (grid_sample(img, g) ** 2).sum())(grid)
+        d2 = jax.grad(
+            lambda g: (warp_sample_guarded(img, g, True) ** 2).sum())(grid)
+        scale = max(float(jnp.abs(d1).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   atol=3e-6 * scale)
+
+
+def test_warp_sample_guard_selects_branch(rng):
+    """Branch selection is observable through the image cotangent: the
+    Pallas branch returns zero by contract, the packed fallback returns
+    the true gradient. A smooth grid must take the kernel (zero dimg);
+    a random grid must take the fallback (nonzero dimg). H must be
+    comfortably above GUARD_SPAN (span is capped at H-1)."""
+    from monodepth_tpu.ops.pallas.warp_sample import warp_sample_guarded
+
+    B, H, W = 1, 64, 128
+    img = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
+    smooth = jnp.asarray(_warp_grid_np(rng, B, H, W, wild_entry=False))
+    wild = jnp.asarray(rng.uniform(-1.0, 1.0, (B, H, W, 2)).astype(np.float32))
+
+    def dimg(grid):
+        return float(jnp.abs(jax.grad(
+            lambda im: (warp_sample_guarded(im, grid, True) ** 2).sum()
+        )(img)).max())
+
+    assert dimg(smooth) == 0.0
+    assert dimg(wild) > 0.0

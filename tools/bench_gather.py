@@ -43,6 +43,12 @@ def main():
                    help="warp: smooth small-displacement field (the real "
                         "workload distribution); random: uniform [-1,1] "
                         "coords (adversarial for candidate-select kernels)")
+    p.add_argument("--dy_span", default=0.0, type=float,
+                   help="with --grid warp: add per-pixel uniform vertical "
+                        "noise of this total range (px), setting the "
+                        "per-slab dy span the Pallas candidate loop "
+                        "scales with — calibrates GUARD_SPAN "
+                        "(warp_sample_guarded crossover)")
     args = p.parse_args()
 
     for shape in args.shapes.split(","):
@@ -55,6 +61,9 @@ def main():
             ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
             dx = 18.0 * np.sin(xs / 37.0) + 10.0 * (ys / H)
             dyf = 2.5 * np.cos(ys / 11.0 + xs / 53.0)
+            if args.dy_span:
+                dyf = dyf + rng.uniform(-0.5 * args.dy_span,
+                                        0.5 * args.dy_span, dyf.shape)
             gx = (xs + dx) / (W - 1) * 2 - 1
             gy = (ys + dyf) / (H - 1) * 2 - 1
             grid = np.stack([gx, gy], -1)[None].repeat(B, 0).astype(np.float32)
@@ -68,6 +77,13 @@ def main():
 
                 def run_fwd(g):
                     return warp_sample(img, g).mean()
+            elif method == "guarded":
+                from monodepth_tpu.ops.pallas.warp_sample import (
+                    warp_sample_guarded,
+                )
+
+                def run_fwd(g):
+                    return warp_sample_guarded(img, g).mean()
             else:
                 def run_fwd(g, method=method):
                     return grid_sample(img, g, method=method).mean()

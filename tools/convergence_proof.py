@@ -32,6 +32,10 @@ def main():
     import jax
     import numpy as np
 
+    from monodepth_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache("/tmp/monodepth_proof_cache")
+
     from monodepth_tpu.config import Config
     from monodepth_tpu.data.synthetic import make_planar_scenes, spearman_rank
     from monodepth_tpu.training.state import (
@@ -69,6 +73,12 @@ def main():
                         "'0 -1' (default '0 -1 1'). Single-source runs "
                         "isolate the invert (past) vs no-invert (future) "
                         "pose wiring when chasing sign asymmetries")
+    p.add_argument("--tx_sign", default=0.0, type=float,
+                   help="force every scene's translation direction "
+                        "(+1/-1); 0 = random per scene. Random signs are "
+                        "adversarial for joint mono (pose sign lock-in, "
+                        "see data/synthetic.py); a consistent sign is the "
+                        "production-realistic regime (KITTI ego-motion)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--precision", default="", choices=["", "bf16", "f32"],
                    help="compute dtype; default bf16 on TPU / f32 on CPU "
@@ -98,7 +108,7 @@ def main():
           f"batch {args.batch}, {args.steps} steps")
 
     scenes = make_planar_scenes(args.scenes, args.height, args.width,
-                                seed=args.seed)
+                                seed=args.seed, tx_sign=args.tx_sign)
     if args.mode == "mono" and frame_ids != (0, -1, 1):
         slot = {0: 0, -1: 1, 1: 2}
         scenes["frames"] = scenes["frames"][:, [slot[f] for f in frame_ids]]
@@ -203,6 +213,7 @@ def main():
         "backend": jax.default_backend(),
         "precision": precision,
         "frame_ids": list(map(str, frame_ids)),
+        "tx_sign": args.tx_sign,
         "loss_first10": round(loss0, 4),
         "loss_last10": round(loss1, 4),
         "loss_ratio": round(loss1 / loss0, 4),

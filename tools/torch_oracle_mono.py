@@ -52,6 +52,9 @@ def main():
     p.add_argument("--batch", default=8, type=int)
     p.add_argument("--scenes", default=32, type=int)
     p.add_argument("--learning_rate", default=1e-4, type=float)
+    p.add_argument("--tx_sign", default=0.0, type=float,
+                   help="force every scene's translation direction "
+                        "(mirrors convergence_proof.py --tx_sign)")
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--threads", default=0, type=int,
                    help=">0: torch.set_num_threads")
@@ -65,7 +68,8 @@ def main():
     SCALES = (0, 1, 2, 3)
     SMOOTHNESS = 1e-3
 
-    scenes = make_planar_scenes(args.scenes, H, W, seed=args.seed)
+    scenes = make_planar_scenes(args.scenes, H, W, seed=args.seed,
+                                tx_sign=args.tx_sign)
     frames = torch.from_numpy(
         scenes["frames"].astype(np.float32) / 255.0).permute(0, 1, 4, 2, 3)
     K_t = torch.from_numpy(scenes["K"])        # [N, 4, 4]
@@ -221,6 +225,15 @@ def main():
                 el = time.perf_counter() - t0
                 print(f"    step {step:4d} loss {losses[-1]:.4f} "
                       f"({el / step:.2f} s/step)", flush=True)
+            if step % 250 == 0:
+                # periodic per-scene signal so an interrupted run still
+                # adjudicates (a 2000-step run is hours on 1 CPU)
+                c = depth_corrs()
+                stuck = [(i, round(float(ci), 2),
+                          round(float(scenes["gt_tx"][i]), 4))
+                         for i, ci in enumerate(c) if ci < 0.5]
+                print(f"    [corr @ {step}] mean {c.mean():.3f} "
+                      f"min {c.min():.3f} stuck<0.5: {stuck}", flush=True)
 
     corr1 = depth_corrs()
     result = {
