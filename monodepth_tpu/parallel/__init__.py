@@ -4,4 +4,5 @@ from monodepth_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicate,
     shard_batch,
+    warm_collectives,
 )

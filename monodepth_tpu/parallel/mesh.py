@@ -55,6 +55,32 @@ def init_distributed() -> bool:
     return True
 
 
+def warm_collectives(mesh: Mesh) -> float:
+    """Establish the cross-process communicator clique with one tiny
+    all-reduce BEFORE any expensive compile. Single-process: no-op.
+
+    The first collective an executable runs creates its communicators;
+    on the CPU multi-process backend the Gloo address exchange goes
+    through the coordinator KV store with a hard ~30 s timeout measured
+    from the first rank's arrival. Ranks that compile the real train
+    step concurrently on a contended host can skew past that window
+    (observed on a 1-CPU host: the 2-process test failed with Gloo
+    `GetKeyValue() timed out` inside the first train step). One
+    trivially-compiled global sum pins the clique while ranks are still
+    in lockstep after `jax.distributed.initialize`; later executables
+    reuse the cached communicators. Returns the global device count as
+    computed ON DEVICE, so callers can sanity-assert the slice."""
+    if jax.process_count() == 1:
+        return float(mesh.devices.size)
+    import jax.numpy as jnp
+
+    sh = NamedSharding(mesh, P(mesh.axis_names))
+    local = np.ones((jax.local_device_count(),), np.float32)
+    ga = jax.make_array_from_process_local_data(sh, local)
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(ga)
+    return float(total)
+
+
 def make_mesh(data: int = 0, spatial: int = 1, devices=None) -> Mesh:
     """Build a ("data", "spatial") mesh. data=0 means "all remaining
     devices"; adjacent mesh coordinates map to ICI neighbors by using the

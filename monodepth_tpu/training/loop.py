@@ -28,7 +28,7 @@ from monodepth_tpu.data.dataset import KittiDataset
 from monodepth_tpu.data.kitti import readlines
 from monodepth_tpu.data.pipeline import Loader, prefetch_to_device
 from monodepth_tpu.losses.metrics import METRIC_NAMES
-from monodepth_tpu.parallel import make_mesh, replicate
+from monodepth_tpu.parallel import make_mesh, replicate, warm_collectives
 from monodepth_tpu.parallel.mesh import batch_shardings
 from monodepth_tpu.training.checkpoint import Checkpointer
 from monodepth_tpu.training.state import (
@@ -133,7 +133,8 @@ class Trainer:
         self.cfg = cfg = cfg.validate()
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.data_parallel or 0)
-        ndev = self.mesh.devices.size
+        warm_collectives(self.mesh)  # multi-host: pin comm clique before
+        ndev = self.mesh.devices.size  # the big train-step compile
         if cfg.batch % ndev:
             raise ValueError(f"global batch {cfg.batch} not divisible by "
                              f"{ndev} devices")

@@ -49,6 +49,7 @@ def main():
         batch_shardings,
         make_mesh,
         replicate,
+        warm_collectives,
     )
     from monodepth_tpu.training.state import (
         build_model,
@@ -70,6 +71,10 @@ def main():
                     num_workers=cfg.num_workers, seed=cfg.seed)
 
     mesh = make_mesh()  # all 8 global devices on the data axis
+    # Pin the Gloo clique while ranks are still in lockstep — the train
+    # step's first collective would otherwise race the ~30 s KV-store
+    # handshake against cross-rank compile skew (warm_collectives doc).
+    assert warm_collectives(mesh) == mesh.devices.size
     model = build_model(cfg)
     tx = make_optimizer(cfg, steps_per_epoch=4)
     state = replicate(mesh, create_state(cfg, model, tx))
