@@ -197,10 +197,11 @@ def main():
 
     # pass = the loss drops materially AND depth rank-correlation improves
     # far beyond the untrained baseline (the tint cue gives a random net
-    # ~0.4 already) with no inverted scenes. Measured plateaus (see
-    # docs/convergence_stereo.md): stereo reaches ~0.79 mean / 0.45 min
-    # over 32 scenes — the last few percent are the double-bilinear loss
-    # floor, not a trainability signal.
+    # ~0.4 already) with no inverted scenes. Measured plateaus with the
+    # constant-lr fix: stereo 0.994 mean / 0.984 min, mono 0.998 / 0.995
+    # over 32 scenes (docs/convergence_{stereo,mono}.md) — the bar below
+    # is deliberately looser; it flags trainability failures, not the
+    # double-bilinear loss floor.
     ok_loss = loss1 < 0.5 * loss0
     ok_corr = (float(corr1.mean()) > 0.75
                and float(corr1.mean() - corr0.mean()) > 0.25
