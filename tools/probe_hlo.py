@@ -1,0 +1,83 @@
+"""Inspect the compiled train step's HLO for layout/copy overhead.
+
+    python tools/probe_hlo.py [--height 192 --width 640 --batch 12]
+
+Counts the transpose/pad/copy ops that survive XLA optimization around
+the Pallas warp kernel (the NHWC->NCHW boundary, VERDICT round-2 weak
+item: "copies 8 ms"), and verifies whether the per-warp source
+transpose+pad is CSE'd across the 4 scales that re-warp the same source
+frame. Evidence for the NCHW-boundary optimization decision recorded in
+docs/PERF.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from monodepth_tpu.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _example_batch
+    from monodepth_tpu.config import Config
+    from monodepth_tpu.training.state import (
+        build_model,
+        create_state,
+        make_optimizer,
+    )
+    from monodepth_tpu.training.step import make_train_step
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--height", default=192, type=int)
+    p.add_argument("--width", default=640, type=int)
+    p.add_argument("--batch", default=12, type=int)
+    args = p.parse_args()
+
+    cfg = Config(height=args.height, width=args.width, batch=args.batch,
+                 weight_init=False)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=1000)
+    state = create_state(cfg, model, tx)
+    batch = _example_batch(cfg, cfg.batch)
+    step = make_train_step(model, tx, cfg)
+    compiled = step.lower(state, batch).compile()
+    txt = compiled.as_text()
+
+    B, H, W = args.batch, args.height, args.width
+    pat = re.compile(r"(transpose|copy)\(")
+    counts = collections.Counter()
+    # every surviving transpose/copy of a full-res 3-channel image tensor
+    img_shape = re.compile(
+        rf"f32\[({B},3,{H + 32},{W}|{B},3,{H},{W}|{B},{H},{W},3)\]")
+    for line in txt.splitlines():
+        line = line.strip()
+        m = re.search(r"= *\S+ (transpose|copy|pad)\(", line) or \
+            re.search(r"= *(fusion)\(", line)
+        if "transpose(" in line or " copy(" in line or " pad(" in line:
+            kind = ("transpose" if "transpose(" in line
+                    else "copy" if " copy(" in line else "pad")
+            counts[kind] += 1
+            if img_shape.search(line):
+                counts[f"{kind}_imgshape"] += 1
+                print("  ", line[:160])
+    n_pallas = txt.count("custom-call") // max(1, 1)
+    print(f"ops total: {dict(counts)}")
+    print(f"custom-calls (pallas etc.): {txt.count('tpu_custom_call')}")
+    stats = compiled.cost_analysis()
+    if stats:
+        print(f"flops: {stats.get('flops', 0) / 1e12:.3f} TFLOP, "
+              f"bytes accessed: {stats.get('bytes accessed', 0) / 1e9:.2f} GB")
+
+
+if __name__ == "__main__":
+    main()

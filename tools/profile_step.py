@@ -1,0 +1,119 @@
+"""Steady-state train-step op breakdown on the real chip.
+
+    python tools/profile_step.py [--warmup 120] [--height 192 ...]
+
+Calibrates the model like bench.py (the Pallas warp kernel's cost is
+regime-dependent — an untrained profile misattributes ~2x the warp
+time), traces a few steps with jax.profiler, then parses the xplane
+with xprof and prints the top HLO ops by self-time. This is how the
+docs/PERF.md "step composition" numbers are produced.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from monodepth_tpu.utils.platform import apply_env_platform  # noqa: E402
+
+apply_env_platform()
+
+
+def main():
+    import jax
+
+    from monodepth_tpu.config import Config
+    from monodepth_tpu.data.synthetic import make_planar_scenes
+    from monodepth_tpu.training.state import (
+        build_model,
+        create_state,
+        make_optimizer,
+    )
+    from monodepth_tpu.training.step import make_train_step
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--height", default=192, type=int)
+    p.add_argument("--width", default=640, type=int)
+    p.add_argument("--batch", default=12, type=int)
+    p.add_argument("--warmup", default=120, type=int)
+    p.add_argument("--steps", default=6, type=int,
+                   help="steps inside the trace window")
+    p.add_argument("--use_pallas", default=True,
+                   type=lambda t: t.lower() in ("1", "true", "yes"))
+    p.add_argument("--top", default=30, type=int)
+    p.add_argument("--out", default="", help="keep the trace dir here")
+    args = p.parse_args()
+
+    cfg = Config(height=args.height, width=args.width, batch=args.batch,
+                 use_pallas=args.use_pallas, weight_init=False)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch=1000)
+    state = create_state(cfg, model, tx)
+    device = jax.devices()[0]
+    state = jax.device_put(state, device)
+    step = make_train_step(model, tx, cfg)
+
+    n_scenes = 3 * cfg.batch
+    scenes = make_planar_scenes(n_scenes, cfg.height, cfg.width, seed=0)
+    keys = ("frames", "jitter", "K", "inv_K")
+    batches = [{k: jax.device_put(scenes[k][i:i + cfg.batch], device)
+                for k in keys}
+               for i in range(0, n_scenes, cfg.batch)]
+
+    for i in range(args.warmup):
+        state, metrics = step(state, batches[i % len(batches)])
+        if i % 30 == 29:
+            print(f"warmup {i + 1}/{args.warmup} "
+                  f"loss {float(metrics['loss']):.4f}", file=sys.stderr)
+    _ = float(metrics["loss"])
+
+    trace_dir = args.out or tempfile.mkdtemp(prefix="monodepth_trace_")
+    with jax.profiler.trace(trace_dir):
+        for i in range(args.steps):
+            state, metrics = step(state, batches[i % len(batches)])
+        _ = float(metrics["loss"])
+
+    xplanes = glob.glob(os.path.join(
+        trace_dir, "**", "*.xplane.pb"), recursive=True)
+    if not xplanes:
+        print(f"no xplane under {trace_dir}", file=sys.stderr)
+        sys.exit(1)
+    report(xplanes[0], args.top, args.steps)
+    print(f"trace: {trace_dir}", file=sys.stderr)
+
+
+def report(xplane: str, top: int, steps: int):
+    """Aggregate per-HLO self-time from the xprof framework_op_stats."""
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data([xplane], "framework_op_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    rows = json.loads(data)
+    # gviz json: rows under 'rows', columns under 'cols'
+    cols = [c["label"] for c in rows[0]["cols"]]
+    table = [[c.get("v") for c in r["c"]] for r in rows[0]["rows"]]
+    i_name = cols.index("Operation")
+    i_self = cols.index("Total self time (us)")
+    i_cat = cols.index("Category") if "Category" in cols else None
+    agg = {}
+    for r in table:
+        cat = r[i_cat] if i_cat is not None else ""
+        agg.setdefault((r[i_name], cat), 0.0)
+        agg[(r[i_name], cat)] += float(r[i_self] or 0)
+    total = sum(agg.values())
+    print(f"{'self ms/step':>12}  {'%':>5}  op (category)")
+    for (name, cat), us in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{us / 1000 / steps:12.3f}  {us / total * 100:5.1f}  "
+              f"{name[:90]} ({cat})")
+    print(f"{total / 1000 / steps:12.3f}  100.0  TOTAL device self time")
+
+
+if __name__ == "__main__":
+    main()
