@@ -294,3 +294,26 @@ def test_monodepth_depth_method(rng):
     variables = model.init(jax.random.PRNGKey(0), frames, train=False)
     disps = model.apply(variables, frames[:, 0], method=Monodepth.depth)
     assert disps[0].shape == (1, 64, 96, 1)
+
+
+def test_depth_decoder_nchw_matches_nhwc(rng):
+    """The NCHW shift-einsum low-stage path (TPU layout optimization,
+    models/depth_decoder.py docstring) is the same math and the same
+    parameter tree as the plain NHWC formulation."""
+    ch = num_ch_enc(18)
+    H, W = 64, 96
+    feats = [jnp.asarray(rng.standard_normal(
+        (2, H >> s, W >> s, c)).astype(np.float32))
+        for s, c in zip([1, 2, 3, 4, 5], ch)]
+    params = DepthDecoder(nchw_low_stages=True).init(
+        jax.random.PRNGKey(0), feats)["params"]
+    out_nchw = DepthDecoder(nchw_low_stages=True).apply(
+        {"params": params}, feats)
+    out_nhwc = DepthDecoder(nchw_low_stages=False).apply(
+        {"params": params}, feats)
+    assert set(out_nchw) == set(out_nhwc) == {0, 1, 2, 3}
+    for s in out_nchw:
+        assert out_nchw[s].shape == out_nhwc[s].shape
+        np.testing.assert_allclose(np.asarray(out_nchw[s]),
+                                   np.asarray(out_nhwc[s]),
+                                   rtol=1e-5, atol=1e-6)

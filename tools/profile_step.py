@@ -90,6 +90,8 @@ def main():
 
 def report(xplane: str, top: int, steps: int):
     """Aggregate per-HLO self-time from the xprof framework_op_stats."""
+    import collections
+
     from xprof.convert import raw_to_tool_data as rtd
 
     data, _ = rtd.xspace_to_tool_data([xplane], "framework_op_stats", {})
@@ -99,20 +101,30 @@ def report(xplane: str, top: int, steps: int):
     # gviz json: rows under 'rows', columns under 'cols'
     cols = [c["label"] for c in rows[0]["cols"]]
     table = [[c.get("v") for c in r["c"]] for r in rows[0]["rows"]]
-    i_name = cols.index("Operation")
-    i_self = cols.index("Total self time (us)")
-    i_cat = cols.index("Category") if "Category" in cols else None
-    agg = {}
-    for r in table:
-        cat = r[i_cat] if i_cat is not None else ""
-        agg.setdefault((r[i_name], cat), 0.0)
-        agg[(r[i_name], cat)] += float(r[i_self] or 0)
-    total = sum(agg.values())
-    print(f"{'self ms/step':>12}  {'%':>5}  op (category)")
-    for (name, cat), us in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{us / 1000 / steps:12.3f}  {us / total * 100:5.1f}  "
-              f"{name[:90]} ({cat})")
-    print(f"{total / 1000 / steps:12.3f}  100.0  TOTAL device self time")
+    idx = {k: cols.index(k) for k in (
+        "Host/device", "Operation Type", "Operation Name",
+        "Total self-time (us)", "#Occurrences", "Bound by",
+        "Measured Memory BW (GBytes/Sec)",
+        "Operational Intensity (FLOPs/Byte)")}
+    dev = [r for r in table if r[idx["Host/device"]] == "Device"]
+    bytype = collections.Counter()
+    for r in dev:
+        bytype[r[idx["Operation Type"]]] += \
+            float(r[idx["Total self-time (us)"]] or 0)
+    total = sum(bytype.values())
+    print("== by op type (ms/step) ==")
+    for t, us in bytype.most_common(20):
+        print(f"{us / 1000 / steps:9.3f}  {us / total * 100:5.1f}%  {t}")
+    print(f"{total / 1000 / steps:9.3f}  TOTAL device self time")
+    print(f"\n== top {top} individual ops ==")
+    key = idx["Total self-time (us)"]
+    for r in sorted(dev, key=lambda r: -float(r[key] or 0))[:top]:
+        us = float(r[key] or 0)
+        print(f"{us / 1000 / steps:8.3f} ms  x{r[idx['#Occurrences']]}  "
+              f"bound={r[idx['Bound by']]}  "
+              f"BW={r[idx['Measured Memory BW (GBytes/Sec)']]}  "
+              f"AI={r[idx['Operational Intensity (FLOPs/Byte)']]}  "
+              f"{r[idx['Operation Name']][:86]}")
 
 
 if __name__ == "__main__":
