@@ -130,12 +130,20 @@ class DepthDecoder(nn.Module):
     nchw_low_stages: bool = True
 
     @nn.compact
-    def __call__(self, features: Sequence[jnp.ndarray]) -> Dict[int, jnp.ndarray]:
+    def __call__(self, features: Sequence[jnp.ndarray],
+                 use_nchw: bool | None = None) -> Dict[int, jnp.ndarray]:
+        # The NCHW win is all in the BACKWARD (cotangent/pad-backward
+        # traffic of the low-channel full-res stages); forward-only it
+        # LOSES (b16 infer 21.8 vs 16.2 ms, tools/diag_infer_ab.py), so
+        # callers pass use_nchw=train and inference stays NHWC.
+        if use_nchw is None:
+            use_nchw = self.nchw_low_stages
         outputs: Dict[int, jnp.ndarray] = {}
         x = features[-1]
         in_nchw = False
         for i in range(4, -1, -1):
-            nchw = self.nchw_low_stages and i <= _NCHW_MAX_STAGE
+            nchw = (self.nchw_low_stages and use_nchw
+                    and i <= _NCHW_MAX_STAGE)
             if nchw and not in_nchw:
                 x = x.transpose(0, 3, 1, 2)
                 in_nchw = True

@@ -77,7 +77,7 @@ class Monodepth(nn.Module):
 
     def depth(self, image, train: bool = False) -> Dict[int, jnp.ndarray]:
         """Depth-only forward (eval path; reference: model_test.py:80)."""
-        return self.decoder(self.encoder(image, train))
+        return self.decoder(self.encoder(image, train), use_nchw=train)
 
     def _frame(self, frames, frame_id: FrameId):
         return frames[:, self.frame_ids.index(frame_id)]
@@ -98,9 +98,10 @@ class Monodepth(nn.Module):
                 fid: [f.reshape(len(self.frame_ids), B, *f.shape[1:])[i]
                       for f in feats]
                 for i, fid in enumerate(self.frame_ids)}
-            disps = self.decoder(shared_features[0])
+            disps = self.decoder(shared_features[0], use_nchw=train)
         else:
-            disps = self.decoder(self.encoder(self._frame(frames, 0), train))
+            disps = self.decoder(
+                self.encoder(self._frame(frames, 0), train), use_nchw=train)
 
         poses = self._forward_pose(frames, shared_features, train)
         return disps, poses
