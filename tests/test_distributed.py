@@ -62,20 +62,29 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
                          capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, res.stdout + res.stderr
 
-    # the genuine 2-process slice
-    coord = f"127.0.0.1:{_free_port()}"
-    procs = []
+    # the genuine 2-process slice. Spawn-level failures (coordinator
+    # port races, Gloo connect timeouts under a fully loaded 1-CPU
+    # host) get ONE retry with a fresh port; a loss mismatch below
+    # never retries — that would be a real bug.
     outs = [str(tmp_path / f"multi{i}.json") for i in range(2)]
-    for i in range(2):
-        procs.append(subprocess.Popen(
-            base + ["--coordinator", coord, "--num_processes", "2",
-                    "--process_id", str(i), "--out", outs[i]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True))
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1200)
-        logs.append(out)
+    for attempt in range(2):
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = []
+        for i in range(2):
+            procs.append(subprocess.Popen(
+                base + ["--coordinator", coord, "--num_processes", "2",
+                        "--process_id", str(i), "--out", outs[i]],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True))
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=1200)
+            logs.append(out)
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 0:
+            print("2-process spawn failed, retrying with a fresh port:\n"
+                  + "\n".join(logs))
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)
 
     with open(single_out) as f:
