@@ -75,37 +75,44 @@ def main():
     if args.warmup:
         _ = float(tm["loss"])
 
+    from jax import lax
+
     eval_step = make_eval_step(model, cfg)
 
+    # in-jit fori chain: at 640x192 this agrees with the chained python
+    # loop to ~2%, and it is the ONLY form that stays honest at
+    # 1024x320 (python-loop dispatch reads 3.5 s/iter there — a queue
+    # artifact of this tunneled backend; tools/diag_eval.py).
     @jax.jit
-    def chained_eval(state, batch, prev):
-        # data-dependent chain: fold the previous loss into the input at
-        # negligible magnitude so queued steps can't be reordered/elided;
-        # the perturbation lives INSIDE the jit (CLAUDE.md).
-        batch = dict(batch)
-        batch["frames"] = batch["frames"] + \
-            (prev * 1e-12).astype(batch["frames"].dtype)
-        m = eval_step(state, batch)
-        return m, m["loss"]
+    def eval_n(state, batch):
+        def body(i, prev):
+            b = dict(batch)
+            b["frames"] = batch["frames"] + \
+                (prev * 1e-12).astype(batch["frames"].dtype)
+            return eval_step(state, b)["loss"]
+        return lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
 
-    prev = jnp.float32(0.0)
-    m, prev = chained_eval(state, batches[0], prev)
-    _ = float(m["loss"])
+    _ = float(eval_n(state, batches[0]))
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        m, prev = chained_eval(state, batches[i % 2], prev)
-    _ = float(m["loss"])
+    _ = float(eval_n(state, batches[0]))
     dt = (time.perf_counter() - t0) / args.iters * 1e3
     print(f"eval_step (full loss): {dt:.1f} ms/batch-{cfg.batch} "
           f"({cfg.batch / dt * 1e3:.1f} img/s)")
 
     infer = make_infer_step(model, cfg)
     img = batches[0]["frames"][:, 0]
-    d = infer(state, img)
+
+    @jax.jit
+    def infer_n(state, img):
+        def body(i, d):
+            return infer(state, img + jnp.expand_dims(d, -1) * 1e-12)
+        return lax.fori_loop(0, args.iters, body,
+                             jnp.zeros(img.shape[:3], jnp.float32))
+
+    d = infer_n(state, img)
     _ = float(jnp.sum(d))
     t0 = time.perf_counter()
-    for i in range(args.iters):
-        d = infer(state, img + jnp.expand_dims(d, -1) * 1e-6)  # chained
+    d = infer_n(state, img)
     _ = float(jnp.sum(d))
     dt = (time.perf_counter() - t0) / args.iters * 1e3
     print(f"infer_step (disp fwd): {dt:.1f} ms/batch-{cfg.batch} "
