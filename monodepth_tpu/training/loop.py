@@ -99,20 +99,36 @@ def load_pretrained(cfg: Config) -> Optional[dict]:
     return out
 
 
+# Metrics whose epoch MAX matters, not just the mean: a cumulative mean
+# dilutes late-epoch divergence (3,000 healthy steps hide 300 diverged
+# ones), so these also get a running max (reported as "<key>_max").
+_MAX_KEYS = ("warp_span",)
+
+
 class _Meter:
     """Device-side running sums; one host fetch per flush. Metric values
     may be scalars or [K]-stacked (steps_per_call > 1)."""
 
     def __init__(self):
         self.sums: Dict[str, object] = {}
+        self.maxes: Dict[str, object] = {}
         self.count = 0
 
     def update(self, metrics: Dict[str, object]):
+        import jax.numpy as jnp
+
         k = 1
         for key, v in metrics.items():
             if getattr(v, "ndim", 0):
                 k = v.shape[0]  # static shape: no device sync
+                if key in _MAX_KEYS:
+                    vm = v.max()
+                    self.maxes[key] = (vm if key not in self.maxes
+                                       else jnp.maximum(self.maxes[key], vm))
                 v = v.sum()
+            elif key in _MAX_KEYS:
+                self.maxes[key] = (v if key not in self.maxes
+                                   else jnp.maximum(self.maxes[key], v))
             self.sums[key] = v if key not in self.sums else self.sums[key] + v
         self.count += k
 
@@ -120,7 +136,10 @@ class _Meter:
         if not self.count:
             return {k: float("nan") for k in LOG_METRICS}
         fetched = jax.device_get(self.sums)
-        return {k: float(v) / self.count for k, v in fetched.items()}
+        out = {k: float(v) / self.count for k, v in fetched.items()}
+        for k, v in jax.device_get(self.maxes).items():
+            out[k + "_max"] = float(v)
+        return out
 
 
 class Trainer:
@@ -236,9 +255,13 @@ class Trainer:
             # instead of a per-warp lax.cond guard: the cond was
             # measured at ~23% steady-state throughput (--warp_guard
             # opts back into it for unattended runs).
+            from monodepth_tpu.ops.pallas.warp_sample import GUARD_SPAN
+
             nonlocal span_warned
-            span = means.get("warp_span")
-            if span is not None and span > 40.0 and not span_warned:
+            # use the running MAX, not the epoch-cumulative mean: the
+            # mean dilutes late-epoch divergence below the threshold
+            span = means.get("warp_span_max", means.get("warp_span"))
+            if span is not None and span > GUARD_SPAN and not span_warned:
                 span_warned = True
                 print(f">>> WARNING: warp dy-span {span:.0f} px — "
                       f"displacement fields far outside the Pallas "

@@ -70,16 +70,25 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
     for attempt in range(2):
         coord = f"127.0.0.1:{_free_port()}"
         procs = []
-        for i in range(2):
-            procs.append(subprocess.Popen(
-                base + ["--coordinator", coord, "--num_processes", "2",
-                        "--process_id", str(i), "--out", outs[i]],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                text=True))
         logs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=1200)
-            logs.append(out)
+        try:
+            for i in range(2):
+                procs.append(subprocess.Popen(
+                    base + ["--coordinator", coord, "--num_processes", "2",
+                            "--process_id", str(i), "--out", outs[i]],
+                    env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.STDOUT, text=True))
+            for p in procs:
+                out, _ = p.communicate(timeout=1200)
+                logs.append(out)
+        finally:
+            # a hung/failed worker must not outlive the test: it would
+            # pin this 1-CPU host (and the coordinator port) for the
+            # rest of the pytest session
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         if all(p.returncode == 0 for p in procs):
             break
         if attempt == 0:

@@ -317,3 +317,16 @@ def test_depth_decoder_nchw_matches_nhwc(rng):
         np.testing.assert_allclose(np.asarray(out_nchw[s]),
                                    np.asarray(out_nhwc[s]),
                                    rtol=1e-5, atol=1e-6)
+    # bf16 (the production precision): the shift-einsum accumulates its
+    # 9 taps in f32 so the whole contraction rounds once, like nn.Conv's
+    # f32 conv accumulation — train (NCHW) and eval (NHWC) forwards of
+    # the same params must agree to bf16 reassociation noise.
+    bf = jnp.bfloat16
+    out_nchw = DepthDecoder(dtype=bf).apply(
+        {"params": params}, [f.astype(bf) for f in feats], use_nchw=True)
+    out_nhwc = DepthDecoder(dtype=bf).apply(
+        {"params": params}, [f.astype(bf) for f in feats], use_nchw=False)
+    for s in out_nchw:
+        np.testing.assert_allclose(np.asarray(out_nchw[s]),
+                                   np.asarray(out_nhwc[s]),
+                                   rtol=0, atol=0.02)

@@ -110,18 +110,30 @@ def test_warp_sample_guarded_both_regimes(rng):
     exactly, fwd and dgrid."""
     from monodepth_tpu.ops.pallas.warp_sample import warp_sample_guarded
 
+    from monodepth_tpu.ops.pallas.warp_sample import dy_span
+
     B, H, W = 2, 16, 128
     img = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
     smooth = jnp.asarray(_warp_grid_np(rng, B, H, W, wild_entry=False))
     wild = jnp.asarray(rng.uniform(-1.0, 1.0, (B, H, W, 2)).astype(np.float32))
-    for grid in (smooth, wild):
+    # At H=16 a uniform-random grid's mean per-slab span (~21 px) sits
+    # BELOW the default 40 px threshold, so pin thresholds that force
+    # each branch (verified via dy_span below) — otherwise both cases
+    # would silently exercise only the kernel branch.
+    spans = {id(smooth): float(dy_span(smooth)),
+             id(wild): float(dy_span(wild))}
+    for grid, threshold in ((smooth, 40.0), (wild, 5.0)):
+        assert (spans[id(grid)] > threshold) == (grid is wild)
         ref = grid_sample(img, grid)
-        out = warp_sample_guarded(img, grid, True)
+        out = warp_sample_guarded(img, grid, True,
+                                  span_threshold=threshold)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
         d1 = jax.grad(lambda g: (grid_sample(img, g) ** 2).sum())(grid)
         d2 = jax.grad(
-            lambda g: (warp_sample_guarded(img, g, True) ** 2).sum())(grid)
+            lambda g: (warp_sample_guarded(img, g, True,
+                                           span_threshold=threshold)
+                       ** 2).sum())(grid)
         scale = max(float(jnp.abs(d1).max()), 1.0)
         np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
                                    atol=3e-6 * scale)

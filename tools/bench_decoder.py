@@ -114,7 +114,7 @@ def chain_im2col(x, w1, b1, w2, b2):
     return y, d
 
 
-def make_step(chain, nchw: bool):
+def make_step(chain):
     """One fwd+bwd 'training step' on the chain, chained through x so
     iterations are data-dependent."""
 
@@ -161,7 +161,7 @@ def main():
     }
 
     for name, (chain, params, x0) in cases.items():
-        step = make_step(chain, nchw="nchw" in name)
+        step = make_step(chain)
         x = x0
         loss, grads, x = step(params, x)  # compile
         _ = float(loss)

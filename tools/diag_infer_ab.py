@@ -22,35 +22,42 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    import monodepth_tpu.models.depth_decoder as dd
     from monodepth_tpu.config import Config
     from monodepth_tpu.training.state import (
         build_model,
         create_state,
         make_optimizer,
     )
-    from monodepth_tpu.training.step import make_infer_step
-
     for batch, label in ((12, "b12"), (16, "b16")):
         cfg = Config(height=192, width=640, batch=batch, weight_init=False)
         img = jax.random.uniform(
             jax.random.PRNGKey(0), (batch, 192, 640, 3),
             jnp.float32)
-        for nchw_max, name in ((2, "nchw decoder"), (-1, "nhwc decoder")):
-            dd._NCHW_MAX_STAGE = nchw_max
+        for use_nchw, name in ((True, "nchw decoder"), (False, "nhwc decoder")):
+            # NOTE: make_infer_step goes through model.depth(train=False),
+            # which pins use_nchw=False (the production choice this tool
+            # motivated) — so the A/B applies the decoder directly with
+            # an explicit use_nchw instead.
             model = build_model(cfg)
             tx = make_optimizer(cfg, steps_per_epoch=1000)
             state = jax.device_put(create_state(cfg, model, tx),
                                    jax.devices()[0])
-            infer = make_infer_step(model, cfg)
+
+            def fwd(state, im, _u=use_nchw, _m=model):
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                return _m.apply(
+                    variables, im,
+                    method=lambda m, x: m.decoder(m.encoder(x, False),
+                                                  use_nchw=_u))[0]
 
             @jax.jit
-            def infer_n(state, img, _infer=infer):
+            def infer_n(state, img, _fwd=fwd):
                 def body(i, d):
-                    return _infer(state,
-                                  img + jnp.expand_dims(d, -1) * 1e-12)
-                return lax.fori_loop(0, 10, body,
-                                     jnp.zeros(img.shape[:3], jnp.float32))
+                    return _fwd(state, img + d * 1e-12)
+                return lax.fori_loop(
+                    0, 10, body,
+                    jnp.zeros(img.shape[:3] + (1,), jnp.float32))
 
             d = infer_n(state, img)
             _ = float(jnp.sum(d))
@@ -60,7 +67,6 @@ def main():
             dt = (time.perf_counter() - t0) / 10 * 1e3
             print(f"{label} {name}: {dt:.1f} ms/batch "
                   f"({batch / dt * 1e3:.0f} img/s)")
-    dd._NCHW_MAX_STAGE = 2
 
 
 if __name__ == "__main__":

@@ -54,15 +54,12 @@ def main():
     txt = compiled.as_text()
 
     B, H, W = args.batch, args.height, args.width
-    pat = re.compile(r"(transpose|copy)\(")
     counts = collections.Counter()
-    # every surviving transpose/copy of a full-res 3-channel image tensor
+    # every surviving transpose/copy/pad of a full-res 3-channel image tensor
     img_shape = re.compile(
         rf"f32\[({B},3,{H + 32},{W}|{B},3,{H},{W}|{B},{H},{W},3)\]")
     for line in txt.splitlines():
         line = line.strip()
-        m = re.search(r"= *\S+ (transpose|copy|pad)\(", line) or \
-            re.search(r"= *(fusion)\(", line)
         if "transpose(" in line or " copy(" in line or " pad(" in line:
             kind = ("transpose" if "transpose(" in line
                     else "copy" if " copy(" in line else "pad")
@@ -70,7 +67,6 @@ def main():
             if img_shape.search(line):
                 counts[f"{kind}_imgshape"] += 1
                 print("  ", line[:160])
-    n_pallas = txt.count("custom-call") // max(1, 1)
     print(f"ops total: {dict(counts)}")
     print(f"custom-calls (pallas etc.): {txt.count('tpu_custom_call')}")
     stats = compiled.cost_analysis()
