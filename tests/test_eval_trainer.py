@@ -237,3 +237,27 @@ def test_trainer_skips_train_gt_without_metrics(kitti_tree, tmp_path):
     finally:
         trainer.train_loader.close()
         trainer.valid_loader.close()
+
+
+def test_meter_tracks_warp_span_max():
+    """The divergence warning uses a running MAX, not the cumulative
+    mean — 3,000 healthy steps must not dilute 300 diverged ones below
+    the threshold (training/loop.py _MAX_KEYS)."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.training.loop import _Meter
+
+    meter = _Meter()
+    for span in (2.0, 3.0, 150.0, 2.0):
+        meter.update({"loss": jnp.float32(0.1),
+                      "warp_span": jnp.float32(span)})
+    means = meter.means()
+    assert means["warp_span"] == pytest.approx(39.25)   # diluted mean
+    assert means["warp_span_max"] == pytest.approx(150.0)
+    # stacked [K] metrics (steps_per_call > 1) reduce correctly too
+    meter2 = _Meter()
+    meter2.update({"loss": jnp.ones((3,), jnp.float32),
+                   "warp_span": jnp.asarray([1.0, 90.0, 2.0])})
+    m2 = meter2.means()
+    assert m2["warp_span_max"] == pytest.approx(90.0)
+    assert m2["loss"] == pytest.approx(1.0)
