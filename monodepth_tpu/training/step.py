@@ -53,9 +53,9 @@ def _make_sampler(cfg: Config, mesh):
     """The warp sampler for this config/mesh (the step's hot op —
     measurements in tools/bench_gather.py and docs/PERF.md):
 
-    - Pallas candidate-select kernel when available: 3.6-7.7 ms/warp
-      fwd+dgrid at 640x192 b12 in training's displacement regimes vs
-      ~44 ms for the best XLA gather; exact parity incl. dgrid. Sources
+    - Pallas candidate-select kernel when available: 2.8-6.0 ms/warp
+      fwd+dgrid at 640x192 b12 in training's displacement regimes (v4)
+      vs ~44 ms for the best XLA gather; exact parity incl. dgrid. Sources
       carry no parameter gradient, so its zero image-cotangent is exact
       here (warp_sample docstring). Under a multi-device mesh the kernel
       is shard_mapped over the "data" axis — GSPMD has no partitioning
