@@ -49,6 +49,11 @@ class Checkpointer:
     def _prune(self) -> None:
         if self.keep <= 0:
             return
+        # Multi-host: Orbax coordinates the SAVE across processes, but
+        # pruning is plain filesystem IO — only rank 0 may do it, and
+        # removals tolerate races with stragglers reading the dir.
+        if jax.process_index() != 0:
+            return
         import shutil
 
         epochs = sorted(
@@ -59,7 +64,10 @@ class Checkpointer:
             # matching per-module exports (named <module><epoch+1>.npz)
             for name in os.listdir(self.directory):
                 if re.fullmatch(rf"[a-z_]+{old + 1}\.npz", name):
-                    os.remove(os.path.join(self.directory, name))
+                    try:
+                        os.remove(os.path.join(self.directory, name))
+                    except FileNotFoundError:
+                        pass
 
     def latest_epoch(self) -> Optional[int]:
         epochs = [int(m.group(1))

@@ -135,9 +135,10 @@ class _Meter:
     def means(self) -> Dict[str, float]:
         if not self.count:
             return {k: float("nan") for k in LOG_METRICS}
-        fetched = jax.device_get(self.sums)
-        out = {k: float(v) / self.count for k, v in fetched.items()}
-        for k, v in jax.device_get(self.maxes).items():
+        # ONE host fetch per flush (a fetch costs ~31 ms RTT here)
+        sums, maxes = jax.device_get((self.sums, self.maxes))
+        out = {k: float(v) / self.count for k, v in sums.items()}
+        for k, v in maxes.items():
             out[k + "_max"] = float(v)
         return out
 

@@ -95,7 +95,9 @@ def _make_sampler(cfg: Config, mesh):
                 base_sample = jax.shard_map(
                     base_sample, mesh=mesh, in_specs=(spec, spec),
                     out_specs=spec, check_vma=False)
-            except AttributeError:  # old jax: experimental location
+            except (AttributeError, TypeError):
+                # old jax: experimental location, or a transitional
+                # jax.shard_map that still takes check_rep (TypeError)
                 from jax.experimental.shard_map import shard_map
 
                 base_sample = shard_map(

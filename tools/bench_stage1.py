@@ -92,8 +92,7 @@ def conv_stack3(x, k, b):
     right = jnp.concatenate([x[..., 1:], x[..., W - 2: W - 1]], axis=-1)
     stack = jnp.concatenate([left, x, right], axis=1)  # [B, 3C, H, W]
     sp = pad_h(stack)
-    k3 = k.transpose(0, 1, 2, 3).reshape(3, 3 * CIN, COUT)  # [dy, (dx c), o]
-    # note: stack order is dx-major (left block first) == k[dy, dx] blocks
+    # stack order is dx-major (left block first) == k[dy, dx] blocks
     k3 = jnp.concatenate([k[:, 0], k[:, 1], k[:, 2]], axis=1)  # [3, 3C, O]
     out = None
     for dy in range(3):
