@@ -19,7 +19,6 @@ fix with evidence. Timing: data-dependent chain forced by a value fetch
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import sys
 import time

@@ -26,7 +26,6 @@ apply_env_platform()
 
 
 def main():
-    import jax
 
     from __graft_entry__ import _example_batch
     from monodepth_tpu.config import Config
