@@ -94,7 +94,13 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
         if attempt == 0:
             print("2-process spawn failed, retrying with a fresh port:\n"
                   + "\n".join(logs))
-    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    # Known flake (~1-in-3 FULL-SUITE runs on this 1-CPU box; never
+    # reproduced standalone or pairwise): if this fails in CI-like runs,
+    # the message below carries the worker returncodes + full logs —
+    # capture them before re-running.
+    assert all(p.returncode == 0 for p in procs), \
+        (f"worker returncodes {[p.returncode for p in procs]}\n"
+         + "\n".join(logs))
 
     with open(single_out) as f:
         single = json.load(f)
