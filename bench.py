@@ -111,6 +111,12 @@ def main():
         "value": round(per_chip, 2),
         "unit": "img/s",
         "vs_baseline": round(per_chip / REFERENCE_IMG_PER_SEC, 3),
+        # the reference publishes no throughput; the denominator is an
+        # ESTIMATE from official Monodepth2's published 12 h / 20 epochs
+        # on a Titan Xp (module docstring) — the img/s value above is
+        # the measured number
+        "baseline_note": f"denominator {REFERENCE_IMG_PER_SEC} img/s is "
+                         f"an estimate (official Monodepth2 12h/20ep)",
     }))
 
 

@@ -63,6 +63,12 @@ class Config:
     profile_dir: str = ""                # non-empty -> jax.profiler traces
     save_root: str = "./model_save"
     use_pallas: bool = True              # use Pallas kernels where available
+    nchw_decoder: bool = True            # train-time NCHW shift-einsum decoder low
+                                         # stages (the round-3 layout win, models/
+                                         # depth_decoder.py docstring). False = plain
+                                         # NHWC everywhere — the operational fallback
+                                         # if a new jax/XLA release mislowers the
+                                         # einsum form (same params either way)
     warp_guard: bool = False             # lax.cond each warp to the flat-cost packed
                                          # gather when the field is degenerate (mean
                                          # per-slab dy span > ~40 px). Costs ~23%
@@ -206,6 +212,7 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--profile_dir", default=d.profile_dir, type=str)
     p.add_argument("--save_root", default=d.save_root, type=str)
     p.add_argument("--use_pallas", default=d.use_pallas, type=_parse_bool)
+    p.add_argument("--nchw_decoder", default=d.nchw_decoder, type=_parse_bool)
     p.add_argument("--warp_guard", default=d.warp_guard, type=_parse_bool)
     p.add_argument("--pallas_interpret", default=d.pallas_interpret, type=_parse_bool)
     p.add_argument("--train_gt_metrics", default=d.train_gt_metrics, type=_parse_bool)

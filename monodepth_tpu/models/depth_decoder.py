@@ -56,9 +56,12 @@ class _ShiftConv3x3(nn.Module):
     @nn.compact
     def __call__(self, xp):  # xp: [B, Cin, H+2, W+2]
         cin = xp.shape[1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        # Initializers come from nn.Conv's own defaults so the two layouts
+        # can never silently initialize differently (the parameter trees
+        # are interchangeable — test_depth_decoder_nchw_matches_nhwc).
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
                             (3, 3, cin, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros,
+        bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
         x = xp.astype(self.dtype)
         k = kernel.astype(self.dtype)

@@ -43,6 +43,8 @@ class Monodepth(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
     remat: bool = False
+    nchw_decoder: bool = True  # --nchw_decoder: train-time NCHW low-stage
+                               # decoder layout (depth_decoder.py docstring)
 
     @property
     def temporal_ids(self) -> Tuple[int, ...]:
@@ -59,7 +61,8 @@ class Monodepth(nn.Module):
     def setup(self):
         self.encoder = ResNetEncoder(self.num_layers, 1, self.dtype,
                                      self.bn_axis_name, self.remat)
-        self.decoder = DepthDecoder(self.scales, dtype=self.dtype)
+        self.decoder = DepthDecoder(self.scales, dtype=self.dtype,
+                                    nchw_low_stages=self.nchw_decoder)
         if self.pose_type == "posecnn":
             self.pose_decoder = PoseCNN(self.num_pose_frames, self.dtype)
         elif self.pose_type == "shared":

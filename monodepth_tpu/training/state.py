@@ -61,6 +61,7 @@ def build_model(cfg: Config) -> Monodepth:
         pose_frames=cfg.pose_frames,
         dtype=dtype,
         remat=cfg.remat,
+        nchw_decoder=cfg.nchw_decoder,
     )
 
 
