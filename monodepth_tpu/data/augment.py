@@ -94,7 +94,12 @@ def color_jitter(img: Array, jitter: Array) -> Array:
 
 
 def decode_frames(frames_u8: Array, jitter: Array):
-    """uint8 frames [B, F, H, W, 3] -> (color, color_aug) f32 in [0,1]."""
-    color = frames_u8.astype(jnp.float32) / 255.0
+    """uint8 frames [B, F, H, W, 3] -> (color, color_aug) float in [0,1].
+
+    Decodes to f32, or wider if the host ships wider jitter factors — the
+    f64 lockstep parity tests (tests/test_lockstep.py) drive the whole
+    train-step graph in float64 this way; production jitter is f32."""
+    dtype = jnp.promote_types(jnp.float32, jitter.dtype)
+    color = frames_u8.astype(dtype) / 255.0
     color_aug = color_jitter(color, jitter)
     return color, color_aug

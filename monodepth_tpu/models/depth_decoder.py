@@ -77,8 +77,10 @@ class _ShiftConv3x3(nn.Module):
             for dx in range(3):
                 win = lax.slice(x, (0, 0, dy, dx),
                                 (b_, c, dy + hp - 2, dx + wp - 2))
-                t = jnp.einsum("co,bchw->bohw", k[dy, dx], win,
-                               preferred_element_type=jnp.float32)
+                t = jnp.einsum(
+                    "co,bchw->bohw", k[dy, dx], win,
+                    preferred_element_type=jnp.promote_types(
+                        jnp.float32, self.dtype))
                 out = t if out is None else out + t
         return (out.astype(self.dtype)
                 + bias.astype(self.dtype)[None, :, None, None])
@@ -173,6 +175,8 @@ class DepthDecoder(nn.Module):
                                name=f"dispconv_{i}")(x)
                 if nchw:
                     disp = disp.transpose(0, 2, 3, 1)
-                # disparity head in f32: sigmoid saturation is precision-sensitive
-                outputs[i] = nn.sigmoid(disp.astype(jnp.float32))
+                # disparity head in >= f32: sigmoid saturation is
+                # precision-sensitive (f64 under the lockstep parity tests)
+                outputs[i] = nn.sigmoid(disp.astype(
+                    jnp.promote_types(jnp.float32, disp.dtype)))
         return outputs

@@ -46,7 +46,9 @@ class PoseDecoder(nn.Module):
         out = nn.Conv(6 * num_frames, (1, 1), dtype=self.dtype,
                       name="pose_2")(out)
 
-        out = out.astype(jnp.float32).mean(axis=(1, 2))  # global average
+        # global average in >= f32 (f64 under the lockstep parity tests)
+        out = out.astype(jnp.promote_types(jnp.float32, out.dtype)
+                         ).mean(axis=(1, 2))
         out = 0.01 * out.reshape(-1, num_frames, 1, 6)
         return out[..., :3], out[..., 3:]
 
@@ -76,6 +78,7 @@ class PoseCNN(nn.Module):
             x = nn.relu(x)
         x = nn.Conv(6 * (self.num_input_frames - 1), (1, 1),
                     dtype=self.dtype, name="pose_conv")(x)
-        x = x.astype(jnp.float32).mean(axis=(1, 2))
+        x = x.astype(jnp.promote_types(jnp.float32, x.dtype)
+                     ).mean(axis=(1, 2))
         x = 0.01 * x.reshape(-1, self.num_input_frames - 1, 1, 6)
         return x[..., :3], x[..., 3:]

@@ -155,10 +155,12 @@ def _linear_resize_matrix(in_size: int, out_size: int,
     lo = np.floor(src).astype(np.int64)
     hi = np.minimum(lo + 1, in_size - 1)
     w = src - lo
-    mat = np.zeros((out_size, in_size), dtype=np.float32)
+    # keep f64: the caller casts to the compute dtype (f32/bf16 in
+    # production; exact weights matter for the f64 lockstep parity tests)
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
     rows = np.arange(out_size)
-    np.add.at(mat, (rows, lo), (1.0 - w).astype(np.float32))
-    np.add.at(mat, (rows, hi), w.astype(np.float32))
+    np.add.at(mat, (rows, lo), 1.0 - w)
+    np.add.at(mat, (rows, hi), w)
     return mat
 
 

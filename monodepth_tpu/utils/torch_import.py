@@ -30,8 +30,18 @@ def _np(t) -> np.ndarray:
     return t.detach().cpu().numpy()  # torch tensor
 
 
+def _f(t) -> np.ndarray:
+    """To float32 — except float64 stays float64: checkpoints are f16/f32
+    (production target is f32), but the f64 lockstep parity harness
+    (tools/lockstep_oracle.py) routes double-precision torch gradients
+    through these converters, and rounding them to f32 would put an
+    artificial ~6e-8 floor under the gradient comparison."""
+    a = _np(t)
+    return a if a.dtype == np.float64 else a.astype(np.float32)
+
+
 def _conv(t) -> np.ndarray:
-    return _np(t).transpose(2, 3, 1, 0).astype(np.float32)
+    return _f(_np(t).transpose(2, 3, 1, 0))
 
 
 def load_torch_file(path: str) -> Dict[str, Any]:
@@ -59,10 +69,10 @@ def _strip_prefix(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.nda
 
 
 def _bn(sd, key) -> Tuple[dict, dict]:
-    params = {"scale": _np(sd[f"{key}.weight"]).astype(np.float32),
-              "bias": _np(sd[f"{key}.bias"]).astype(np.float32)}
-    stats = {"mean": _np(sd[f"{key}.running_mean"]).astype(np.float32),
-             "var": _np(sd[f"{key}.running_var"]).astype(np.float32)}
+    params = {"scale": _f(sd[f"{key}.weight"]),
+              "bias": _f(sd[f"{key}.bias"])}
+    stats = {"mean": _f(sd[f"{key}.running_mean"]),
+             "var": _f(sd[f"{key}.running_var"])}
     return params, stats
 
 
@@ -125,12 +135,12 @@ def depth_decoder_params(state_dict: Mapping[str, np.ndarray],
             w = sd[f"decoder.{idx}.conv.conv.weight"]
             b = sd[f"decoder.{idx}.conv.conv.bias"]
             params[name] = {"conv": {"conv": {"kernel": _conv(w),
-                                              "bias": _np(b).astype(np.float32)}}}
+                                              "bias": _f(b)}}}
         else:  # Conv3x3 -> .conv
             w = sd[f"decoder.{idx}.conv.weight"]
             b = sd[f"decoder.{idx}.conv.bias"]
             params[name] = {"conv": {"kernel": _conv(w),
-                                     "bias": _np(b).astype(np.float32)}}
+                                     "bias": _f(b)}}
     return params
 
 
@@ -141,7 +151,7 @@ def pose_decoder_params(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
 
     def entry(idx):
         return {"kernel": _conv(sd[f"net.{idx}.weight"]),
-                "bias": _np(sd[f"net.{idx}.bias"]).astype(np.float32)}
+                "bias": _f(sd[f"net.{idx}.bias"])}
 
     return {"squeeze": entry(0), "pose_0": entry(1),
             "pose_1": entry(2), "pose_2": entry(3)}
@@ -154,7 +164,7 @@ def pose_cnn_params(state_dict: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     params = {}
     for i in range(7):
         params[f"conv_{i}"] = {"kernel": _conv(sd[f"net.{i}.weight"]),
-                               "bias": _np(sd[f"net.{i}.bias"]).astype(np.float32)}
+                               "bias": _f(sd[f"net.{i}.bias"])}
     params["pose_conv"] = {"kernel": _conv(sd["pose_conv.weight"]),
-                           "bias": _np(sd["pose_conv.bias"]).astype(np.float32)}
+                           "bias": _f(sd["pose_conv.bias"])}
     return params
