@@ -99,6 +99,19 @@ class Config:
     cache_frames: bool = False           # cache decoded+resized frames on disk under
                                          # save_root (epoch >= 2 skips JPEG decode;
                                          # ~15 GB for the eigen_zhou train set)
+    spatial_halo: int = 64               # halo rows exchanged per side for the Pallas
+                                         # warp under spatial (H) sharding — the warp
+                                         # kernel stays exact while every tap row lands
+                                         # within +-halo of the shard (trained fields
+                                         # are a few px; a lax.cond falls back to the
+                                         # exact all-gather+gather path beyond it).
+                                         # Clamped to the shard height.
+    eigen_every: int = 0                 # > 0: run the FULL Eigen test sweep
+                                         # (evaluation/eigen.py, the reference's
+                                         # model_test.py protocol) every N epochs,
+                                         # mesh-sharded over the data axis; metrics
+                                         # land in metrics.jsonl under "eigen".
+                                         # 0 = off (the reference only evals post-hoc)
     # NOTE on batch norm under data parallelism: BN statistics are always
     # computed over the GLOBAL batch (sync-BN) — with jit + sharded
     # batches every batch-axis mean is a global reduction. This matches
@@ -220,5 +233,7 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--donate", default=d.donate, type=_parse_bool)
     p.add_argument("--steps_per_call", default=d.steps_per_call, type=int)
     p.add_argument("--cache_frames", default=d.cache_frames, type=_parse_bool)
+    p.add_argument("--spatial_halo", default=d.spatial_halo, type=int)
+    p.add_argument("--eigen_every", default=d.eigen_every, type=int)
     args = p.parse_args(argv)
     return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)}).validate()

@@ -195,39 +195,59 @@ def _coords(grid, height, width):
         x0i, y0i
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "with_grads"))
-def _forward(image, grid, interpret=False, with_grads=True):
+@functools.partial(jax.jit,
+                   static_argnames=("full_height", "interpret", "with_grads"))
+def _forward(image, grid, row0=None, full_height=None,
+             interpret=False, with_grads=True):
+    """Kernel launch. The basic form (row0/full_height None) warps a
+    same-size image. The SHIFTED form decouples the two row spaces for
+    spatial (H) sharding: `image` is a LOCAL row slab (own rows + halo,
+    [B, Himg, W, C] with Himg = Hout + 2*halo), `grid`'s y-coordinates
+    are GLOBAL over `full_height` rows, and `row0` (traced i32/f32
+    scalar) is the global row of the slab's first row — anchors shift
+    into slab space and clamp to its bounds (out-of-halo anchors stay
+    memory-safe but inexact; callers cond to an exact fallback,
+    training/step.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, H, W, C = image.shape
-    if grid.shape != (B, H, W, 2):
-        # the dy/slab structure assumes output size == source size (all
-        # warps in this framework are same-size); the jnp grid_sample
-        # handles the general Ho/Wo case
-        raise ValueError(f"warp_sample needs grid [B, H, W, 2] matching "
-                         f"the image; got image {image.shape}, "
+    B, Himg, W, C = image.shape
+    Hout = grid.shape[1]
+    if grid.shape != (B, Hout, W, 2):
+        # same-width slabs only (spatial sharding splits H, never W);
+        # the jnp grid_sample handles the general Ho/Wo case
+        raise ValueError(f"warp_sample needs grid [B, Ho, W, 2] matching "
+                         f"the image width; got image {image.shape}, "
                          f"grid {grid.shape}")
-    wx, wy, x0, y0 = _coords(grid, H, W)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, H, 1), 1)
+    if full_height is None:
+        if Himg != Hout:
+            raise ValueError("plain warp_sample needs image H == grid H; "
+                             "pass row0/full_height for shifted slabs")
+        full_height = Himg
+    wx, wy, x0, y0 = _coords(grid, full_height, W)
+    if row0 is not None:
+        # slab space; clamp keeps the candidate loop + reads in bounds
+        y0 = jnp.clip(y0 - jnp.asarray(row0, jnp.int32), 0, Himg - 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, Hout, 1), 1)
     dy = y0 - rows
 
     img_p = image.astype(jnp.float32).transpose(0, 3, 1, 2)
     img_pad = jnp.pad(img_p, ((0, 0), (0, 0), (PAD, PAD), (0, 0)))
 
-    spec_img = pl.BlockSpec((1, C, H + 2 * PAD, W), lambda b, s: (b, 0, 0, 0),
+    spec_img = pl.BlockSpec((1, C, Himg + 2 * PAD, W),
+                            lambda b, s: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     spec_row = pl.BlockSpec((1, SLAB, W), lambda b, s: (b, s, 0),
                             memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, C, SLAB, W), lambda b, s: (b, 0, s, 0),
                             memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((B, C, H, W), jnp.float32)
+    shape = jax.ShapeDtypeStruct((B, C, Hout, W), jnp.float32)
 
     n_out = 3 if with_grads else 1
     outs = pl.pallas_call(
         functools.partial(_kernel, channels=C, width=W,
                           with_grads=with_grads),
-        grid=(B, H // SLAB),
+        grid=(B, Hout // SLAB),
         in_specs=[spec_img, spec_row, spec_row, spec_row, spec_row],
         out_specs=(spec_out,) * n_out,
         out_shape=(shape,) * n_out,
@@ -308,29 +328,70 @@ def warp_sample(image, grid, interpret: bool = False):
     The primal (undifferentiated) path skips the gx/gy tap-difference
     accumulators and outputs entirely — eval/inference pays only the
     warp itself; under AD the custom_vjp fwd rule computes them."""
-    out, _, _ = _forward(image, grid, interpret, with_grads=False)
+    out, _, _ = _forward(image, grid, interpret=interpret, with_grads=False)
     return out
 
 
 def _fwd(image, grid, interpret):
-    out, gx, gy = _forward(image, grid, interpret)
+    out, gx, gy = _forward(image, grid, interpret=interpret)
     return out, (grid, gx, gy)
+
+
+def _grid_vjp(grid, dout, gx, gy, full_height, width):
+    """(upstream cotangent, tap differences) -> dgrid, chained through the
+    exact coordinate-prep VJP (same clamp semantics as _coords)."""
+    dout_p = dout.transpose(0, 3, 1, 2)
+    dwx = jnp.sum(dout_p * gx, axis=1)  # [B, Ho, W]
+    dwy = jnp.sum(dout_p * gy, axis=1)
+
+    def weights(g):
+        wx, wy, _, _ = _coords(g, full_height, width)
+        return wx, wy
+
+    _, vjp = jax.vjp(weights, grid)
+    (dgrid,) = vjp((dwx, dwy))
+    return dgrid
 
 
 def _bwd(interpret, res, dout):
     grid, gx, gy = res
     H, W = gx.shape[2], gx.shape[3]
-    dout_p = dout.transpose(0, 3, 1, 2)
-    dwx = jnp.sum(dout_p * gx, axis=1)  # [B, H, W]
-    dwy = jnp.sum(dout_p * gy, axis=1)
-
-    def weights(g):
-        wx, wy, _, _ = _coords(g, H, W)
-        return wx, wy
-
-    _, vjp = jax.vjp(weights, grid)
-    (dgrid,) = vjp((dwx, dwy))
+    dgrid = _grid_vjp(grid, dout, gx, gy, H, W)
     return jnp.zeros(dout.shape[:3] + (gx.shape[1],), dout.dtype), dgrid
 
 
 warp_sample.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def warp_sample_shifted(image, grid, row0, full_height: int,
+                        interpret: bool = False):
+    """`warp_sample` over a LOCAL row slab of an H-sharded image (the
+    spatial mesh axis, training/step.py): `image` [B, Hout+2*halo, W, C]
+    holds this shard's rows plus a halo exchanged from its neighbors,
+    `grid` [B, Hout, W, 2] carries GLOBAL coordinates over `full_height`
+    rows, `row0` (traced f32/i32 scalar) is the slab's first global row
+    (shard_row0 - halo; negative on the first shard). Exact wherever
+    every tap row lands inside the slab — anchors beyond it clamp to the
+    slab edge (memory-safe, wrong values); callers must detect that and
+    fall back (the `lax.cond` in step.py's spatial sampler). Gradient
+    flows to `grid` only, like `warp_sample`."""
+    out, _, _ = _forward(image, grid, row0, full_height,
+                         interpret=interpret, with_grads=False)
+    return out
+
+
+def _fwd_shifted(image, grid, row0, full_height, interpret):
+    out, gx, gy = _forward(image, grid, row0, full_height,
+                           interpret=interpret)
+    return out, (grid, row0, gx, gy)
+
+
+def _bwd_shifted(full_height, interpret, res, dout):
+    grid, row0, gx, gy = res
+    dgrid = _grid_vjp(grid, dout, gx, gy, full_height, gx.shape[3])
+    return (jnp.zeros(dout.shape[:3] + (gx.shape[1],), dout.dtype), dgrid,
+            jnp.zeros_like(row0))
+
+
+warp_sample_shifted.defvjp(_fwd_shifted, _bwd_shifted)

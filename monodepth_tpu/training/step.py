@@ -49,6 +49,83 @@ from monodepth_tpu.training.state import TrainState
 Array = jax.Array
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map across the API transition (check_vma replaced
+    check_rep; older jax keeps it under jax.experimental.shard_map)."""
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def _spatial_pallas_sampler(cfg: Config, mesh, interpret: bool):
+    """The Pallas warp under spatial (H) sharding: halo exchange instead
+    of the all-gather GSPMD would need.
+
+    Each shard owns H/n_spatial rows; a warp's tap rows stay within a few
+    px of the output row in trained regimes (the dy-span argument,
+    ops/pallas/warp_sample.py), so exchanging `spatial_halo` edge rows
+    with the two neighbors (one ppermute each way over ICI) gives every
+    shard a local slab that contains all its taps, and the candidate
+    kernel runs on the slab with globally-correct coordinates
+    (`warp_sample_shifted`). A per-spatial-group `lax.cond` (predicate
+    pmin-agreed so the group branches together) falls back to the exact
+    all-gather + packed-gather path when any tap escapes the halo
+    (diverged fields) — sharded-regime cost stays O(halo) per shard
+    instead of O(H), exactness is unconditional.
+    Reference hot op: F.grid_sample (model_layer/warp.py:12-14)."""
+    from jax.sharding import PartitionSpec as P
+
+    from monodepth_tpu.ops.pallas import warp_sample as _ws
+
+    n = mesh.shape["spatial"]
+    H, W = cfg.height, cfg.width
+    Hl = H // n
+    halo = min(cfg.spatial_halo, Hl)
+
+    def local_warp(img, grd):
+        # img: this shard's rows [b, Hl, W, C]; grd: this shard's output
+        # rows with GLOBAL [-1,1] coordinates. Sources carry no parameter
+        # gradient (warp_sample contract), so the halo exchange needs no
+        # backward collective.
+        img = jax.lax.stop_gradient(img)
+        s = jax.lax.axis_index("spatial")
+        from_prev = jax.lax.ppermute(
+            img[:, Hl - halo:], "spatial",
+            [(i, i + 1) for i in range(n - 1)])  # zeros on shard 0
+        from_next = jax.lax.ppermute(
+            img[:, :halo], "spatial",
+            [(i, i - 1) for i in range(1, n)])   # zeros on shard n-1
+        ext = jnp.concatenate([from_prev, img, from_next], axis=1)
+        row0 = (s * Hl - halo).astype(jnp.float32)
+
+        # every tap row (anchor and anchor+1) inside the slab? The global
+        # border clamp means edge shards never trip this at the borders.
+        y = jnp.clip((grd[..., 1] + 1.0) * 0.5 * (H - 1), 0.0, H - 1)
+        y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+        rel = y0 - (s * Hl - halo)
+        ok = jnp.all((rel >= 0) & (rel + 1 <= Hl + 2 * halo - 1))
+        ok = jax.lax.pmin(ok.astype(jnp.int32), "spatial") > 0
+
+        def fast(img_, ext_, grd_):
+            del img_
+            return _ws.warp_sample_shifted(ext_, grd_, row0, H, interpret)
+
+        def exact(img_, ext_, grd_):
+            del ext_
+            full = jax.lax.all_gather(img_, "spatial", axis=1, tiled=True)
+            return grid_sample(full, grd_)
+
+        return jax.lax.cond(ok, fast, exact, img, ext, grd)
+
+    spec = P("data", "spatial")
+    return _shard_map(local_warp, mesh, (spec, spec), spec)
+
+
 def _make_sampler(cfg: Config, mesh):
     """The warp sampler for this config/mesh (the step's hot op —
     measurements in tools/bench_gather.py and docs/PERF.md):
@@ -61,18 +138,21 @@ def _make_sampler(cfg: Config, mesh):
       is shard_mapped over the "data" axis — GSPMD has no partitioning
       rule for pallas_call and would otherwise ALL-GATHER the inputs and
       run it fully replicated on every chip (verified in compiled HLO).
-    - jnp "packed" gather otherwise (CPU, odd shapes, or a mesh with
-      spatial > 1): fastest exact XLA form at every resolution; GSPMD
-      partitions its batching-dim gathers natively. Under spatial
-      sharding the kernel would force a data-only reshard (all-gather
-      of the H-sharded frames + fully replicated warp per spatial
-      group — defeating exactly the memory savings spatial sharding
-      exists for), so the packed gather is the right form there.
+      Under spatial (H) sharding it runs on halo-extended local slabs
+      (`_spatial_pallas_sampler`).
+    - jnp "packed" gather otherwise (CPU, or kernel-unsupported shapes):
+      fastest exact XLA form at every resolution; GSPMD partitions its
+      batching-dim gathers natively.
     """
     from monodepth_tpu.ops.pallas import warp_sample as _ws
 
     on_tpu = jax.default_backend() == "tpu"
     spatial = mesh.shape.get("spatial", 1) if mesh is not None else 1
+    if (cfg.use_pallas and spatial > 1 and cfg.height % spatial == 0
+            and _ws.supported(cfg.height // spatial, cfg.width)
+            and (on_tpu or cfg.pallas_interpret)):
+        sampler = _spatial_pallas_sampler(cfg, mesh, interpret=not on_tpu)
+        return (jax.checkpoint(sampler) if cfg.remat else sampler), True
     if (cfg.use_pallas and _ws.supported(cfg.height, cfg.width)
             and spatial == 1
             and (on_tpu or cfg.pallas_interpret)):
@@ -91,18 +171,7 @@ def _make_sampler(cfg: Config, mesh):
             from jax.sharding import PartitionSpec as P
 
             spec = P("data")
-            try:  # stable API (jax >= 0.6): check_vma replaced check_rep
-                base_sample = jax.shard_map(
-                    base_sample, mesh=mesh, in_specs=(spec, spec),
-                    out_specs=spec, check_vma=False)
-            except (AttributeError, TypeError):
-                # old jax: experimental location, or a transitional
-                # jax.shard_map that still takes check_rep (TypeError)
-                from jax.experimental.shard_map import shard_map
-
-                base_sample = shard_map(
-                    base_sample, mesh=mesh, in_specs=(spec, spec),
-                    out_specs=spec, check_rep=False)
+            base_sample = _shard_map(base_sample, mesh, (spec, spec), spec)
         sampler = base_sample
         pallas = True
     else:
@@ -129,7 +198,9 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
         disps, poses = model.apply(variables, color_aug, train=False)
         new_batch_stats = variables.get("batch_stats", {})
 
-    f32 = jnp.float32
+    # the loss stack is parity-critical: at least f32 even when the net
+    # computes in bf16; follows wider inputs (f64 lockstep parity tests)
+    f32 = jnp.promote_types(jnp.float32, color.dtype)
     H, W = cfg.height, cfg.width
     source_ids = list(cfg.source_frame_ids)
 

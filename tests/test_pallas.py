@@ -159,3 +159,40 @@ def test_warp_sample_guard_selects_branch(rng):
 
     assert dimg(smooth) == 0.0
     assert dimg(wild) > 0.0
+
+
+def test_warp_sample_shifted_matches_global(rng):
+    """The shifted slab form (spatial H-sharding, warp_sample_shifted):
+    each shard's halo-extended slab + global coordinates must reproduce
+    the global sampler's rows exactly — forward and dgrid — wherever
+    every tap stays inside the slab (here dy ~ +-1.5 px << halo)."""
+    from monodepth_tpu.ops.pallas.warp_sample import warp_sample_shifted
+
+    B, H, W, C = 2, 32, 128, 3
+    n, halo = 2, 8
+    Hl = H // n
+    img = rng.uniform(size=(B, H, W, C)).astype(np.float32)
+    grid = jnp.asarray(_warp_grid_np(rng, B, H, W, wild_entry=False))
+    ref = grid_sample(jnp.asarray(img), grid)
+    dref = jax.grad(
+        lambda g: (grid_sample(jnp.asarray(img), g) ** 2).sum())(grid)
+
+    for s in range(n):
+        lo, hi = s * Hl - halo, (s + 1) * Hl + halo
+        ext = np.zeros((B, Hl + 2 * halo, W, C), np.float32)
+        src_lo, src_hi = max(lo, 0), min(hi, H)
+        ext[:, src_lo - lo: src_hi - lo] = img[:, src_lo:src_hi]
+        gslab = grid[:, s * Hl:(s + 1) * Hl]
+        out = warp_sample_shifted(jnp.asarray(ext), gslab,
+                                  jnp.float32(lo), H, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref[:, s * Hl:(s + 1) * Hl]),
+            atol=1e-6, err_msg=f"shard {s}")
+        dslab = jax.grad(
+            lambda g: (warp_sample_shifted(jnp.asarray(ext), g,
+                                           jnp.float32(lo), H, True)
+                       ** 2).sum())(gslab)
+        scale = max(float(jnp.abs(dref).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(dslab), np.asarray(dref[:, s * Hl:(s + 1) * Hl]),
+            atol=3e-6 * scale, err_msg=f"shard {s} dgrid")

@@ -87,3 +87,46 @@ def test_graft_entry_dryrun():
     jax.block_until_ready(out)
 
     ge.dryrun_multichip(8)
+
+
+def test_spatial_pallas_sampler_exact():
+    """The Pallas warp under spatial sharding (halo exchange,
+    training/step._spatial_pallas_sampler) equals the global grid_sample
+    in BOTH regimes on a {data:2, spatial:2} mesh: smooth in-halo fields
+    run the shifted kernel, wild fields trip the per-group lax.cond into
+    the exact all-gather fallback — outputs and dgrid identical either
+    way."""
+    import jax.numpy as jnp
+
+    from monodepth_tpu.ops.sampling import grid_sample
+    from monodepth_tpu.training.step import _spatial_pallas_sampler
+    from tests.test_pallas import _warp_grid_np
+
+    rng = np.random.default_rng(0)
+    cfg = Config(height=32, width=128, batch=4, precision="f32",
+                 scales=(0, 1), weight_init=False, use_pallas=True,
+                 pallas_interpret=True, spatial_halo=8)
+    mesh = make_mesh(2, 2)  # Hl = 16, halo = 8
+    sampler = jax.jit(_spatial_pallas_sampler(cfg, mesh, interpret=True))
+
+    B, H, W = cfg.batch, cfg.height, cfg.width
+    img = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    smooth = _warp_grid_np(rng, B, H, W, wild_entry=False)
+    wild = rng.uniform(-1.5, 1.5, (B, H, W, 2)).astype(np.float32)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data", "spatial"))
+    for name, grid in (("smooth", smooth), ("wild", wild)):
+        img_s = jax.device_put(img, sh)
+        grid_s = jax.device_put(grid, sh)
+        ref = grid_sample(jnp.asarray(img), jnp.asarray(grid))
+        out = sampler(img_s, grid_s)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-6, err_msg=name)
+        dref = jax.grad(lambda g: (grid_sample(jnp.asarray(img), g)
+                                   ** 2).sum())(jnp.asarray(grid))
+        dout = jax.grad(lambda g: (sampler(img_s, g) ** 2).sum())(grid_s)
+        scale = max(float(jnp.abs(dref).max()), 1.0)
+        np.testing.assert_allclose(np.asarray(dout), np.asarray(dref),
+                                   atol=5e-6 * scale, err_msg=name)
