@@ -61,6 +61,16 @@ def main():
                                       cache_dir=args.gt_cache or None)
     print(">>> Loaded ground truth depth")
 
+    import jax
+
+    from monodepth_tpu.parallel import make_mesh
+
+    # the whole slice, data-parallel (the reference eval is single-GPU;
+    # evaluation/eigen.py predict_disparities docstring)
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        print(f">>> eval mesh: {dict(mesh.shape)}")
+
     for spec in args.weights:
         directory, _, epoch = spec.rpartition(":")
         scales = (args.scales or detect_scales(directory, int(epoch))
@@ -76,7 +86,7 @@ def main():
         )
 
         disps = predict_disparities(cfg, state, lines,
-                                    eval_batch=args.eval_batch)
+                                    eval_batch=args.eval_batch, mesh=mesh)
         if args.save_pred_disps:
             import numpy as np
 

@@ -107,13 +107,34 @@ def load_ground_truth(datapath: str, lines: Sequence[str],
 def predict_disparities(cfg: Config, state: TrainState,
                         lines: Sequence[str],
                         eval_batch: int = 16,
-                        num_workers: int = 8) -> np.ndarray:
+                        num_workers: int = 8,
+                        mesh=None) -> np.ndarray:
     """Jitted batched depth-only forward -> [N, H, W] scaled disparities.
 
     IO runs through the threaded Loader (native decode, in order, last
     partial batch padded to keep the jit shape static) so the TPU stays
-    fed during the sweep (BASELINE config 2)."""
+    fed during the sweep (BASELINE config 2).
+
+    Pass a `jax.sharding.Mesh` to shard each batch over the "data" axis
+    and run the sweep on the whole slice (the reference eval is strictly
+    single-GPU, model_test.py:61-83): state is replicated, images arrive
+    P("data")-sharded, and the jitted forward runs fully data-parallel —
+    per-image outputs are mesh-size-invariant, so metrics are identical
+    to the single-device sweep (tests/test_eval_trainer.py). Single-
+    controller scope: with multi-host meshes each process would need its
+    own `lines` slice (use the Trainer's valid pass for that)."""
     from monodepth_tpu.data.pipeline import Loader
+
+    sharding = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from monodepth_tpu.parallel.mesh import replicate
+
+        ndata = mesh.shape["data"]
+        eval_batch = -(-eval_batch // ndata) * ndata  # round up: divisible
+        sharding = NamedSharding(mesh, P("data"))
+        state = replicate(mesh, state)
 
     model = build_model(cfg)
     infer = make_infer_step(model, cfg)
@@ -130,6 +151,8 @@ def predict_disparities(cfg: Config, state: TrainState,
             if pad:  # keep the batch shape static for jit
                 frames = np.concatenate([frames, frames[-1:].repeat(pad, 0)])
             images = frames.astype(np.float32) / 255.0
+            if sharding is not None:
+                images = jax.device_put(images, sharding)
             out = np.asarray(jax.device_get(infer(state, images)))
             disps.append(out[: len(frames) - pad])
     finally:
@@ -168,14 +191,14 @@ def eigen_metrics(disparities: np.ndarray,
 def evaluate(cfg: Config, state: TrainState,
              lines: Sequence[str] | None = None,
              ground_truths: Sequence[np.ndarray] | None = None,
-             eval_batch: int = 16) -> Dict[str, float]:
+             eval_batch: int = 16, mesh=None) -> Dict[str, float]:
     """Full protocol: forward + metrics. Returns {metric: value}."""
     if lines is None:
         lines = kitti.readlines(os.path.join(
             cfg.splits, cfg.datatype, "test_files.txt"))
     if ground_truths is None:
         ground_truths = load_ground_truth(cfg.datapath, lines)
-    disps = predict_disparities(cfg, state, lines, eval_batch)
+    disps = predict_disparities(cfg, state, lines, eval_batch, mesh=mesh)
     return eigen_metrics(disps, ground_truths, cfg.datatype)
 
 

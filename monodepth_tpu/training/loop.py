@@ -224,6 +224,37 @@ class Trainer:
         if self.start_epoch:
             self._load_curves()  # keep curves continuous across resume
 
+        self._eigen = None  # lazy (lines, ground_truths) for --eigen_every
+
+    # ------------------------------------------------------------------
+    def eigen_eval(self) -> Dict[str, float]:
+        """The FULL Eigen test protocol (evaluation/eigen.py — the
+        reference's post-hoc model_test.py run, here available in-training
+        via --eigen_every N), mesh-sharded over the data axis. Test lines
+        + projected velodyne GT load once and cache for the run.
+        Single-controller only: a multi-host run keeps its per-epoch
+        valid pass and evals post-hoc with model_test.py."""
+        from monodepth_tpu.evaluation import eigen
+
+        if jax.process_count() > 1:
+            print(">>> --eigen_every is single-controller only; skipping "
+                  "(run model_test.py post-hoc)")
+            return {}
+        if self._eigen is None:
+            lines = readlines(os.path.join(
+                self.cfg.splits, self.cfg.datatype, "test_files.txt"))
+            gts = eigen.load_ground_truth(
+                self.cfg.datapath, lines,
+                cache_dir=os.path.join(self.cfg.save_root, "gt_cache_eval"))
+            self._eigen = (lines, gts)
+        lines, gts = self._eigen
+        disps = eigen.predict_disparities(
+            self.cfg, self.state, lines,
+            eval_batch=max(self.cfg.batch, 1),
+            num_workers=self.cfg.num_workers,
+            mesh=self.mesh if self.mesh.devices.size > 1 else None)
+        return eigen.eigen_metrics(disps, gts, self.cfg.datatype)
+
     # ------------------------------------------------------------------
     def _epoch(self, epoch: int, training: bool) -> Dict[str, float]:
         cfg = self.cfg
@@ -330,7 +361,16 @@ class Trainer:
                 for key in LOG_METRICS:
                     self.history[split][key].append(log.get(key, float("nan")))
             self._print(epoch, train_log, valid_log)
-            self._append_jsonl(epoch, train_log, valid_log)
+
+            eigen_log = None
+            if cfg.eigen_every and (epoch + 1) % cfg.eigen_every == 0:
+                eigen_log = self.eigen_eval()
+                if eigen_log:
+                    from monodepth_tpu.evaluation.eigen import print_table
+
+                    print_table(f"eigen test sweep (epoch {epoch + 1})",
+                                eigen_log)
+            self._append_jsonl(epoch, train_log, valid_log, eigen_log)
 
             if (epoch + 1) % max(cfg.ckpt_every, 1) == 0 \
                     or epoch == cfg.epoch - 1 or stop["now"]:
@@ -358,7 +398,8 @@ class Trainer:
         print(f"    {'train':>6} {row(train_log)}")
         print(f"    {'valid':>6} {row(valid_log)}")
 
-    def _append_jsonl(self, epoch: int, train_log, valid_log):
+    def _append_jsonl(self, epoch: int, train_log, valid_log,
+                      eigen_log=None):
         """Machine-readable per-epoch record (metrics.jsonl) alongside the
         console table and .npy curves."""
         import json
@@ -372,6 +413,8 @@ class Trainer:
                   "lr": float(self.cfg.learning_rate
                               * 0.1 ** (epoch // self.cfg.scheduler_step)),
                   "train": clean(train_log), "valid": clean(valid_log)}
+        if eigen_log:
+            record["eigen"] = clean(eigen_log)
         os.makedirs(self.save_dir, exist_ok=True)
         with open(os.path.join(self.save_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")

@@ -39,7 +39,7 @@ def make_cfg(root, splits, save_root, **kw):
 
 def test_trainer_end_to_end(kitti_tree, tmp_path):
     root, splits = kitti_tree
-    cfg = make_cfg(root, splits, str(tmp_path))
+    cfg = make_cfg(root, splits, str(tmp_path), eigen_every=1)
     mesh = make_mesh(2, 1)
     trainer = Trainer(cfg, mesh=mesh)
     state = trainer.train()
@@ -49,6 +49,16 @@ def test_trainer_end_to_end(kitti_tree, tmp_path):
     loss_dir = os.path.join(trainer.save_dir, "loss")
     assert os.path.exists(os.path.join(loss_dir, "train_loss.npy"))
     assert os.path.exists(os.path.join(loss_dir, "valid_abs_rel.npy"))
+
+    # --eigen_every ran the full in-training Eigen sweep (mesh-sharded)
+    # and recorded it in metrics.jsonl
+    import json
+
+    with open(os.path.join(trainer.save_dir, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert "eigen" in records[-1]
+    assert set(records[-1]["eigen"]) == set(METRIC_NAMES)
+    assert np.isfinite(records[-1]["eigen"]["abs_rel"])
 
     # per-module export usable by the eval CLI path
     eval_state = state_from_modules(cfg, trainer.save_dir, cfg.epoch)
@@ -60,6 +70,38 @@ def test_trainer_end_to_end(kitti_tree, tmp_path):
     cfg2 = make_cfg(root, splits, str(tmp_path), resume=True, epoch=1)
     trainer2 = Trainer(cfg2, mesh=mesh)
     assert trainer2.start_epoch == 1
+
+
+def test_predict_disparities_mesh_matches_single(kitti_tree):
+    """The mesh-sharded Eigen sweep (whole slice, data axis) must produce
+    the same per-image disparities and metrics as the single-device sweep
+    — including an odd eval_batch that forces the divisibility round-up
+    and tail padding (evaluation/eigen.py predict_disparities)."""
+    from monodepth_tpu.data import kitti as K
+    from monodepth_tpu.evaluation.eigen import predict_disparities
+    from monodepth_tpu.training.state import (
+        create_state,
+        make_optimizer,
+        build_model,
+    )
+
+    root, splits = kitti_tree
+    cfg = Config(datapath=root, splits=splits, height=32, width=64,
+                 scales=(0, 1), precision="f32", weight_init=False,
+                 use_pallas=False).validate()
+    lines = K.readlines(
+        os.path.join(splits, "kitti_eigen_zhou", "test_files.txt"))
+    model = build_model(cfg)
+    state = create_state(cfg, model, make_optimizer(cfg, 1))
+
+    single = predict_disparities(cfg, state, lines, eval_batch=3,
+                                 num_workers=2, mesh=None)
+    mesh = make_mesh()  # all 8 virtual devices on the data axis
+    assert mesh.devices.size == 8
+    sharded = predict_disparities(cfg, state, lines, eval_batch=3,
+                                  num_workers=2, mesh=mesh)
+    assert single.shape == sharded.shape == (len(lines), 32, 64)
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=1e-7)
 
 
 def test_eigen_protocol_perfect_prediction():
