@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--datapath", required=True)
     ap.add_argument("--splits", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--ckpt_dir", default="",
+                    help="exercise multi-host checkpoint save/restore: "
+                         "save after step 1, restore into a fresh state, "
+                         "re-run step 2, report both losses")
     args = ap.parse_args()
 
     if args.num_processes > 1:
@@ -91,14 +95,43 @@ def main():
 
     state, metrics = step(state, global_batch)
     loss = float(metrics["loss"])
+    result = {"loss": loss,
+              "devices": jax.device_count(),
+              "local_devices": jax.local_device_count(),
+              "processes": jax.process_count()}
+
+    if args.ckpt_dir:
+        # Multi-host checkpoint contract (SURVEY §5.4/§5.8): EVERY process
+        # calls save/restore — Orbax coordinates the write internally
+        # (primary-host writes + cross-process barriers once
+        # jax.distributed is initialized); pruning alone is rank-0-guarded
+        # (training/checkpoint.py). Save after step 1, take an
+        # uninterrupted step 2, then restore into a FRESH replicated
+        # state and re-run step 2: losses must match bit-for-bit.
+        from monodepth_tpu.training.checkpoint import Checkpointer
+
+        ckpt = Checkpointer(args.ckpt_dir)
+        ckpt.save(0, state)
+
+        # the tiny synthetic split yields one batch per epoch; step 2
+        # draws from the next epoch (deterministic per-(seed,epoch) order)
+        (batch2,) = list(prefetch_to_device(
+            iter([next(loader.epoch(1))]), size=1, sharding=shardings))
+        _, metrics2 = step(state, batch2)
+        result["loss_step2"] = float(metrics2["loss"])
+
+        fresh = replicate(mesh, create_state(cfg, model, tx))
+        restored, epoch = ckpt.restore(fresh)
+        assert epoch == 0
+        restored = replicate(mesh, restored)
+        _, metrics2r = step(restored, batch2)
+        result["loss_step2_restored"] = float(metrics2r["loss"])
+
     loader.close()
 
     if jax.process_index() == 0:
         with open(args.out, "w") as f:
-            json.dump({"loss": loss,
-                       "devices": jax.device_count(),
-                       "local_devices": jax.local_device_count(),
-                       "processes": jax.process_count()}, f)
+            json.dump(result, f)
     print(f"worker {args.process_id}: loss={loss:.6f} "
           f"devices={jax.device_count()} local={jax.local_device_count()}")
 

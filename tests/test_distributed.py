@@ -20,6 +20,11 @@ from monodepth_tpu.data.synthetic import make_kitti_tree, make_split_files
 
 _WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
 _CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# Cold-compile-cache worst case: a train-step source change invalidates
+# every cached executable, and a cold 8-device CPU compile under full-
+# suite load on this 1-CPU host has been observed to blow a 1200 s
+# budget (the root cause of the historical ~1-in-3 full-suite flake).
+_TIMEOUT = 2400
 
 
 @pytest.fixture(scope="module")
@@ -55,31 +60,40 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
     env = _worker_env()
     base = [sys.executable, _WORKER, "--datapath", root, "--splits", splits]
 
-    # single-process oracle: one worker, 8 local devices
+    # single-process oracle: one worker, 8 local devices (it also runs
+    # the checkpoint save->restore->step2 exercise, single-process form)
     env8 = dict(env, XLA_FLAGS="--xla_force_host_platform_device_count=8")
     single_out = str(tmp_path / "single.json")
-    res = subprocess.run(base + ["--out", single_out], env=env8,
-                         capture_output=True, text=True, timeout=1200)
+    res = subprocess.run(
+        base + ["--out", single_out, "--ckpt_dir", str(tmp_path / "ckpt1")],
+        env=env8, capture_output=True, text=True, timeout=_TIMEOUT)
     assert res.returncode == 0, res.stdout + res.stderr
 
-    # the genuine 2-process slice. Spawn-level failures (coordinator
-    # port races, Gloo connect timeouts under a fully loaded 1-CPU
-    # host) get ONE retry with a fresh port; a loss mismatch below
-    # never retries — that would be a real bug.
+    # the genuine 2-process slice. ONLY spawn-level failures (coordinator
+    # port races, Gloo/distributed connect timeouts under a fully loaded
+    # 1-CPU host) get ONE retry with a fresh port — gated on their log
+    # signatures below, so a deterministic crash inside the train step
+    # (or a loss mismatch) never retries; those would be real bugs.
+    spawn_sigs = ("connection refused", "connect timed out", "gloo",
+                  "coordinator", "deadline_exceeded", "unavailable",
+                  "barrier", "bind")
+    retried = False
     outs = [str(tmp_path / f"multi{i}.json") for i in range(2)]
     for attempt in range(2):
         coord = f"127.0.0.1:{_free_port()}"
         procs = []
         logs = []
         try:
+            ckpt2 = str(tmp_path / f"ckpt2_attempt{attempt}")
             for i in range(2):
                 procs.append(subprocess.Popen(
                     base + ["--coordinator", coord, "--num_processes", "2",
-                            "--process_id", str(i), "--out", outs[i]],
+                            "--process_id", str(i), "--out", outs[i],
+                            "--ckpt_dir", ckpt2],
                     env=env, stdout=subprocess.PIPE,
                     stderr=subprocess.STDOUT, text=True))
             for p in procs:
-                out, _ = p.communicate(timeout=1200)
+                out, _ = p.communicate(timeout=_TIMEOUT)
                 logs.append(out)
         finally:
             # a hung/failed worker must not outlive the test: it would
@@ -91,16 +105,23 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
                     p.wait()
         if all(p.returncode == 0 for p in procs):
             break
-        if attempt == 0:
-            print("2-process spawn failed, retrying with a fresh port:\n"
-                  + "\n".join(logs))
-    # Known flake (~1-in-3 FULL-SUITE runs on this 1-CPU box; never
-    # reproduced standalone or pairwise): if this fails in CI-like runs,
-    # the message below carries the worker returncodes + full logs —
-    # capture them before re-running.
+        joined = "\n".join(logs).lower()
+        if attempt == 0 and any(s in joined for s in spawn_sigs):
+            retried = True
+            print("2-process spawn failed (spawn-level signature), "
+                  "retrying with a fresh port:\n" + "\n".join(logs))
+        else:
+            break  # deterministic worker failure: surface it, no retry
+    # Root-caused full-suite slowness (round 4): a train-step source
+    # change invalidates every persistent-cache entry, and a cold
+    # f32 train-step compile for an 8-device CPU mesh takes minutes on
+    # this 1-CPU host — under full-suite load the old 1200 s budget
+    # could be exceeded (the only observed failure mode; never a wrong
+    # loss). Workers share tests/.jax_cache, so only the FIRST run
+    # after such a change is slow.
     assert all(p.returncode == 0 for p in procs), \
-        (f"worker returncodes {[p.returncode for p in procs]}\n"
-         + "\n".join(logs))
+        (f"worker returncodes {[p.returncode for p in procs]} "
+         f"(retried={retried})\n" + "\n".join(logs))
 
     with open(single_out) as f:
         single = json.load(f)
@@ -114,3 +135,14 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
     # order may differ across process layouts; tolerance is loose-tight)
     assert multi["loss"] == pytest.approx(single["loss"], rel=1e-4), \
         (single, multi, "\n".join(logs))
+
+    # Multi-host checkpointing (SURVEY §5.4/§5.8): both processes saved
+    # into ONE directory after step 1 (Orbax primary-host coordination —
+    # no directory race), restored into a fresh state, and re-ran step 2.
+    # An uninterrupted step 2 and a restored step 2 run the same jitted
+    # fn on identical inputs -> bit-identical losses; and the 2-process
+    # step-2 trajectory matches the single-process oracle's.
+    assert multi["loss_step2_restored"] == multi["loss_step2"], multi
+    assert single["loss_step2_restored"] == single["loss_step2"], single
+    assert multi["loss_step2"] == pytest.approx(single["loss_step2"],
+                                                rel=1e-4), (single, multi)
