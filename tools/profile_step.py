@@ -108,14 +108,25 @@ def report(xplane: str, top: int, steps: int):
         "Operational Intensity (FLOPs/Byte)")}
     dev = [r for r in table if r[idx["Host/device"]] == "Device"]
     bytype = collections.Counter()
+    bytes_by_type = collections.Counter()
     for r in dev:
-        bytype[r[idx["Operation Type"]]] += \
-            float(r[idx["Total self-time (us)"]] or 0)
+        us = float(r[idx["Total self-time (us)"]] or 0)
+        bytype[r[idx["Operation Type"]]] += us
+        # hardware-counter-derived traffic: self-time x measured BW.
+        # This is the honest "bytes moved" figure (HLO cost analysis
+        # multi-counts shared operands — see tools/roofline.py).
+        bw = float(r[idx["Measured Memory BW (GBytes/Sec)"]] or 0)
+        bytes_by_type[r[idx["Operation Type"]]] += us * bw / 1e3  # MB
     total = sum(bytype.values())
-    print("== by op type (ms/step) ==")
+    total_gb = sum(bytes_by_type.values()) / 1e3 / steps
+    print("== by op type (ms/step | measured GB/step) ==")
     for t, us in bytype.most_common(20):
-        print(f"{us / 1000 / steps:9.3f}  {us / total * 100:5.1f}%  {t}")
-    print(f"{total / 1000 / steps:9.3f}  TOTAL device self time")
+        print(f"{us / 1000 / steps:9.3f}  {us / total * 100:5.1f}%  "
+              f"{bytes_by_type[t] / 1e3 / steps:7.2f} GB  {t}")
+    print(f"{total / 1000 / steps:9.3f}  TOTAL device self time; "
+          f"measured traffic {total_gb:.1f} GB/step "
+          f"= {total_gb / (total / 1e6 / steps) / 819 * 100:.0f}% of "
+          f"819 GB/s over device self-time")
     print(f"\n== top {top} individual ops ==")
     key = idx["Total self-time (us)"]
     for r in sorted(dev, key=lambda r: -float(r[key] or 0))[:top]:
