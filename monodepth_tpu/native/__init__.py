@@ -14,7 +14,9 @@ If the toolchain or libjpeg is unavailable the import still succeeds and
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import threading
 
@@ -22,7 +24,28 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "host_pipeline.cc")
-_LIB = os.path.join(_DIR, "libmdt_host.so")
+
+
+def _host_key() -> str:
+    """Cache key for the host's CPU microarchitecture. The .so is built
+    with -march=native; a checkout shared across heterogeneous hosts
+    (NFS, container image reuse) must not load another host's binary or
+    it can SIGILL on unsupported instructions. Keyed on the CPU feature
+    flags (the instruction-set surface -march=native compiles against),
+    not the model name — identical-flag hosts share the artifact."""
+    feat = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feat += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feat += " " + platform.processor()
+    return hashlib.sha1(feat.encode()).hexdigest()[:12]
+
+
+_LIB = os.path.join(_DIR, f"libmdt_host-{_host_key()}.so")
 
 _lock = threading.Lock()
 _lib = None
