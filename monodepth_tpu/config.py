@@ -59,6 +59,9 @@ class Config:
     ckpt_every: int = 2                  # epochs between checkpoints (reference saved every 2)
     ckpt_keep: int = 3                   # keep-last-N full states + exports (0 = keep all,
                                          # the reference's unbounded layout)
+    async_ckpt: bool = False             # overlap checkpoint serialization/IO with
+                                         # training (ocp.AsyncCheckpointer); at most
+                                         # one save in flight (checkpoint.py)
     resume: bool = False
     profile_dir: str = ""                # non-empty -> jax.profiler traces
     save_root: str = "./model_save"
@@ -221,6 +224,7 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--log_every", default=d.log_every, type=int)
     p.add_argument("--ckpt_every", default=d.ckpt_every, type=int)
     p.add_argument("--ckpt_keep", default=d.ckpt_keep, type=int)
+    p.add_argument("--async_ckpt", default=d.async_ckpt, type=_parse_bool)
     p.add_argument("--resume", default=d.resume, type=_parse_bool)
     p.add_argument("--profile_dir", default=d.profile_dir, type=str)
     p.add_argument("--save_root", default=d.save_root, type=str)

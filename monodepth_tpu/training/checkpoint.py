@@ -24,27 +24,63 @@ from monodepth_tpu.utils.serialization import save_npz
 
 
 class Checkpointer:
-    def __init__(self, directory: str, keep: int = 0):
+    def __init__(self, directory: str, keep: int = 0,
+                 async_save: bool = False):
         """`keep` > 0 bounds disk: after each save only the newest `keep`
         full TrainStates (and their per-module npz exports) survive — a
         24-epoch default run otherwise retains 12 full states incl. Adam
         moments. The newest checkpoint is always among the kept, so the
         final save of a run is never pruned. 0 = keep everything (the
-        reference's behavior, model_tool/logger.py:60-68)."""
+        reference's behavior, model_tool/logger.py:60-68).
+
+        `async_save` overlaps serialization + disk IO with continued
+        training (`ocp.AsyncCheckpointer`): `save` returns once the host
+        snapshot is taken (the `device_get`), the write commits on a
+        background thread, and a new save (or `wait()`) blocks until the
+        previous one has committed — so at most one save is in flight
+        and an interrupted run can lose only the newest, uncommitted
+        checkpoint (Orbax writes to a temp dir and renames on commit).
+        Pruning is deferred to the commit point. Multi-host: the async
+        commit barriers across processes exactly like the sync form."""
         self.directory = os.path.abspath(directory)
         self.keep = keep
         os.makedirs(self.directory, exist_ok=True)
-        self._ckpt = ocp.StandardCheckpointer()
+        self._async = async_save
+        if async_save:
+            self._ckpt = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckpt = ocp.StandardCheckpointer()
 
     def _path(self, epoch: int) -> str:
         return os.path.join(self.directory, f"state_{epoch:04d}")
 
     def save(self, epoch: int, state: TrainState) -> str:
         path = self._path(epoch)
-        self._ckpt.save(path, jax.device_get(state), force=True)
+        # device_get snapshots to host numpy synchronously: the training
+        # loop may donate/overwrite the device buffers immediately after.
+        host_state = jax.device_get(state)
+        if self._async:
+            # AsyncCheckpointer(StandardCheckpointHandler) takes ocp.args;
+            # StandardCheckpointer's convenience save takes the tree.
+            self._ckpt.save(path, args=ocp.args.StandardSave(host_state),
+                            force=True)
+            # The new save is still uncommitted (temp-dir named, invisible
+            # to _prune's state_NNNN match) but any PREVIOUS async save
+            # has committed — AsyncCheckpointer.save blocks on it — so
+            # prune the older generations now; the in-flight one is
+            # covered by the next save's prune or by `wait()`.
+            self._prune()
+        else:
+            self._ckpt.save(path, host_state, force=True)
+            self._ckpt.wait_until_finished()
+            self._prune()
+        return path
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed, then
+        prune. A no-op for sync checkpointers (saves already waited)."""
         self._ckpt.wait_until_finished()
         self._prune()
-        return path
 
     def _prune(self) -> None:
         if self.keep <= 0:
@@ -83,7 +119,11 @@ class Checkpointer:
         if epoch is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state)
-        restored = self._ckpt.restore(self._path(epoch), abstract)
+        if self._async:
+            restored = self._ckpt.restore(
+                self._path(epoch), args=ocp.args.StandardRestore(abstract))
+        else:
+            restored = self._ckpt.restore(self._path(epoch), abstract)
         return restored, epoch
 
     def export_modules(self, epoch: int, state: TrainState) -> None:

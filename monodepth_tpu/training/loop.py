@@ -211,7 +211,8 @@ class Trainer:
         enable_compile_cache(os.path.join(cfg.save_root, ".jax_cache"))
 
         self.save_dir = os.path.join(cfg.save_root, cfg.save)
-        self.checkpointer = Checkpointer(self.save_dir, keep=cfg.ckpt_keep)
+        self.checkpointer = Checkpointer(self.save_dir, keep=cfg.ckpt_keep,
+                                         async_save=cfg.async_ckpt)
         self.start_epoch = 0
         if cfg.resume and self.checkpointer.latest_epoch() is not None:
             self.state, restored = self.checkpointer.restore(self.state)
@@ -382,6 +383,7 @@ class Trainer:
                 break
         for sig, handler in old_handlers.items():
             signal.signal(sig, handler)
+        self.checkpointer.wait()  # commit any in-flight async save
         self._save_curves()
         self.train_loader.close()
         self.valid_loader.close()

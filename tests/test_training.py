@@ -167,6 +167,30 @@ def test_checkpoint_retention(setup, tmp_path):
     assert epoch == 3
 
 
+def test_checkpoint_async_roundtrip_and_retention(setup, tmp_path):
+    """`async_save=True`: saves commit on a background thread, `wait()`
+    makes them durable, restore is bit-identical, and keep-last-N pruning
+    still converges (at most one extra generation transiently in flight —
+    checkpoint.py save())."""
+    import os
+
+    model, tx, state = setup
+    ckpt = Checkpointer(str(tmp_path), keep=2, async_save=True)
+    step = make_train_step(model, tx, CFG, donate=False)
+    state2, _ = step(state, make_batch())
+    for epoch in range(4):
+        ckpt.save(epoch, state2 if epoch == 3 else state)
+    ckpt.wait()
+    names = set(os.listdir(tmp_path))
+    assert "state_0002" in names and "state_0003" in names
+    assert "state_0000" not in names and "state_0001" not in names
+    restored, epoch = ckpt.restore(state2)
+    assert epoch == 3
+    for a, b in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bn_stats_update_only_in_train(setup):
     model, tx, state = setup
     step = make_train_step(model, tx, CFG, donate=False)
