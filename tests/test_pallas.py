@@ -99,7 +99,7 @@ def test_warp_sample_fuzz_matches_jnp(rng):
 def test_warp_sample_rejects_mismatched_grid(rng):
     img = jnp.zeros((1, 8, 128, 3), jnp.float32)
     grid = jnp.zeros((1, 16, 128, 2), jnp.float32)
-    with pytest.raises(ValueError, match="matching"):
+    with pytest.raises(ValueError, match="image H == grid H"):
         warp_sample(img, grid, True)
 
 
