@@ -109,6 +109,19 @@ def test_masked_median_low():
     assert float(t) == 3.0
 
 
+def test_masked_median_low_fuzz_vs_torch(rng):
+    """The jit twin must equal torch.median (lower median) for every
+    valid-count parity, including n=1 and full masks (reference split:
+    torch median in model_metric.py:101 vs np.median in model_test.py)."""
+    for n in (1, 2, 3, 8, 63, 128):
+        x = rng.normal(size=128).astype(np.float32)
+        mask = np.zeros(128, np.float32)
+        mask[rng.choice(128, size=n, replace=False)] = 1.0
+        want = float(torch.median(torch.tensor(x[mask > 0])))
+        got = float(masked_median_low(jnp.asarray(x), jnp.asarray(mask)))
+        assert got == want, (n, got, want)
+
+
 def test_depth_errors_perfect_prediction(rng):
     gt = rng.uniform(1, 50, (2, 8, 8)).astype(np.float32)
     mask = (rng.uniform(size=(2, 8, 8)) > 0.5).astype(np.float32)
