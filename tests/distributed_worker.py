@@ -127,6 +127,19 @@ def main():
         _, metrics2r = step(restored, batch2)
         result["loss_step2_restored"] = float(metrics2r["loss"])
 
+        # The async form must coordinate the commit across processes the
+        # same way (ocp.AsyncCheckpointer background-thread write + commit
+        # barrier): save, drain, restore, and require bit-identical params.
+        import numpy as np
+
+        ckpt_a = Checkpointer(args.ckpt_dir + "_async", async_save=True)
+        ckpt_a.save(0, state)
+        ckpt_a.wait()
+        restored_a, _ = ckpt_a.restore(fresh)
+        result["async_ckpt_ok"] = bool(jax.tree.all(jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            jax.device_get(state.params), restored_a.params)))
+
     loader.close()
 
     if jax.process_index() == 0:

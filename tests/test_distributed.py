@@ -146,3 +146,6 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
     assert single["loss_step2_restored"] == single["loss_step2"], single
     assert multi["loss_step2"] == pytest.approx(single["loss_step2"],
                                                 rel=1e-4), (single, multi)
+    # async form: cross-process commit barrier + bit-identical restore
+    assert multi["async_ckpt_ok"] is True, multi
+    assert single["async_ckpt_ok"] is True, single

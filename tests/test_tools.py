@@ -99,3 +99,43 @@ def test_snippet_ate():
 
     with pytest.raises(ValueError):
         snippet_ate(gt[:3], gt[:3])
+
+
+def test_export_inference_stablehlo_roundtrip(tmp_path):
+    """tools/export_inference.py: the depth forward exports to a
+    self-contained StableHLO artifact with a SYMBOLIC batch dim; after
+    serialize -> deserialize it matches direct model.apply at f32 to
+    float-rounding for multiple batch sizes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from monodepth_tpu.config import Config
+    from monodepth_tpu.ops.geometry import disparity_to_depth
+    from monodepth_tpu.training.state import (
+        build_model,
+        create_state,
+        make_optimizer,
+    )
+    from tools.export_inference import build_exported
+
+    cfg = Config(height=32, width=64, scales=(0, 1), precision="f32",
+                 weight_init=False)
+    model = build_model(cfg)
+    state = create_state(cfg, model, make_optimizer(cfg, 1))
+
+    exported = build_exported(cfg, state)
+    fn = jexport.deserialize(exported.serialize())
+
+    rng = np.random.default_rng(0)
+    for b in (1, 3):
+        imgs = jnp.asarray(rng.random((b, 32, 64, 3)), jnp.float32)
+        got = fn.call(imgs)
+        disps = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, train=False, method=model.depth)
+        want, _ = disparity_to_depth(disps[0].astype(jnp.float32), 1e-3, 80.0)
+        want = want[..., 0]
+        assert got.shape == (b, 32, 64)
+        rel = float((jnp.abs(got - want) / (jnp.abs(want) + 1e-6)).max())
+        assert rel < 1e-5, rel
