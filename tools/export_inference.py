@@ -20,7 +20,10 @@ Round trip:
 The artifact is platform-checked at call time: export with
 ``--platforms tpu,cpu`` to produce one file servable on both. The warp
 kernel never appears here (inference is depth-only), so no custom-call
-portability caveats apply.
+portability caveats apply. Verified end-to-end: an artifact exported
+from a CPU-only process with --platforms tpu,cpu deserializes and runs
+on a real v5e chip (and on CPU it matches direct model.apply to 5.8e-7
+rel at f32 — tests/test_tools.py round-trip).
 """
 
 from __future__ import annotations
