@@ -108,7 +108,8 @@ def predict_disparities(cfg: Config, state: TrainState,
                         lines: Sequence[str],
                         eval_batch: int = 16,
                         num_workers: int = 8,
-                        mesh=None) -> np.ndarray:
+                        mesh=None,
+                        infer=None) -> np.ndarray:
     """Jitted batched depth-only forward -> [N, H, W] scaled disparities.
 
     IO runs through the threaded Loader (native decode, in order, last
@@ -122,7 +123,10 @@ def predict_disparities(cfg: Config, state: TrainState,
     per-image outputs are mesh-size-invariant, so metrics are identical
     to the single-device sweep (tests/test_eval_trainer.py). Single-
     controller scope: with multi-host meshes each process would need its
-    own `lines` slice (use the Trainer's valid pass for that)."""
+    own `lines` slice (use the Trainer's valid pass for that).
+
+    `infer`: pass a cached `make_infer_step(...)` to skip the per-call
+    retrace (Trainer.eigen_eval does, so --eigen_every pays one trace)."""
     from monodepth_tpu.data.pipeline import Loader
 
     sharding = None
@@ -136,8 +140,10 @@ def predict_disparities(cfg: Config, state: TrainState,
         sharding = NamedSharding(mesh, P("data"))
         state = replicate(mesh, state)
 
-    model = build_model(cfg)
-    infer = make_infer_step(model, cfg)
+    if infer is None:  # one-shot CLI path; in-training sweeps pass a
+        # cached step (Trainer.eigen_eval) so repeat epochs skip the
+        # retrace + remote compile-cache round trip
+        infer = make_infer_step(build_model(cfg), cfg)
     dataset = KittiDataset(cfg.datapath, lines, is_training=False,
                            frame_ids=(0,), height=cfg.height,
                            width=cfg.width, load_depth=False)

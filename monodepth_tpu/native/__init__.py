@@ -41,7 +41,13 @@ def _host_key() -> str:
                     feat += " " + " ".join(sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:
-        feat += " " + platform.processor()
+        # No readable /proc/cpuinfo (hardened container, non-Linux):
+        # platform.processor() is often "" or a generic "x86_64" — NOT
+        # ISA-discriminating, so hashing it would let two hosts with
+        # different instruction sets share one -march=native binary
+        # (the SIGILL this key exists to prevent). Key on the hostname
+        # instead: it disables cross-host sharing rather than colliding.
+        feat += f" no-cpu-flags {platform.node()}"
     return hashlib.sha1(feat.encode()).hexdigest()[:12]
 
 

@@ -389,14 +389,17 @@ def warp_sample_shifted(image, grid, row0, full_height: int,
 def _fwd_shifted(image, grid, row0, full_height, interpret):
     out, gx, gy = _forward(image, grid, row0, full_height,
                            interpret=interpret)
-    return out, (grid, row0, gx, gy)
+    # `image` rides along only to shape the zero cotangent below: the slab
+    # height (Hout + 2*halo) differs from dout's Hout, so it can't be
+    # reconstructed from the other residuals. Saving it is free — it's a
+    # reference to the caller's source frame, which outlives the step.
+    return out, (image, grid, row0, gx, gy)
 
 
 def _bwd_shifted(full_height, interpret, res, dout):
-    grid, row0, gx, gy = res
+    image, grid, row0, gx, gy = res
     dgrid = _grid_vjp(grid, dout, gx, gy, full_height, gx.shape[3])
-    return (jnp.zeros(dout.shape[:3] + (gx.shape[1],), dout.dtype), dgrid,
-            jnp.zeros_like(row0))
+    return (jnp.zeros_like(image), dgrid, jnp.zeros_like(row0))
 
 
 warp_sample_shifted.defvjp(_fwd_shifted, _bwd_shifted)

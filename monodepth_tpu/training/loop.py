@@ -226,6 +226,7 @@ class Trainer:
             self._load_curves()  # keep curves continuous across resume
 
         self._eigen = None  # lazy (lines, ground_truths) for --eigen_every
+        self._eigen_infer = None  # cached jitted depth forward (one trace)
 
     # ------------------------------------------------------------------
     def eigen_eval(self) -> Dict[str, float]:
@@ -249,11 +250,16 @@ class Trainer:
                 cache_dir=os.path.join(self.cfg.save_root, "gt_cache_eval"))
             self._eigen = (lines, gts)
         lines, gts = self._eigen
+        if self._eigen_infer is None:
+            from monodepth_tpu.training.step import make_infer_step
+
+            self._eigen_infer = make_infer_step(self.model, self.cfg)
         disps = eigen.predict_disparities(
             self.cfg, self.state, lines,
             eval_batch=max(self.cfg.batch, 1),
             num_workers=self.cfg.num_workers,
-            mesh=self.mesh if self.mesh.devices.size > 1 else None)
+            mesh=self.mesh if self.mesh.devices.size > 1 else None,
+            infer=self._eigen_infer)
         return eigen.eigen_metrics(disps, gts, self.cfg.datatype)
 
     # ------------------------------------------------------------------
@@ -365,7 +371,15 @@ class Trainer:
 
             eigen_log = None
             if cfg.eigen_every and (epoch + 1) % cfg.eigen_every == 0:
-                eigen_log = self.eigen_eval()
+                # Telemetry only (feeds metrics.jsonl) — a failure here
+                # (e.g. a missing velodyne file for a TEST-split scene on a
+                # partial KITTI download) must not abort training before the
+                # epoch's checkpoint save below.
+                try:
+                    eigen_log = self.eigen_eval()
+                except Exception as exc:  # noqa: BLE001
+                    print(f">>> eigen sweep failed (training continues): "
+                          f"{type(exc).__name__}: {exc}")
                 if eigen_log:
                     from monodepth_tpu.evaluation.eigen import print_table
 

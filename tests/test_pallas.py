@@ -196,3 +196,24 @@ def test_warp_sample_shifted_matches_global(rng):
         np.testing.assert_allclose(
             np.asarray(dslab), np.asarray(dref[:, s * Hl:(s + 1) * Hl]),
             atol=3e-6 * scale, err_msg=f"shard {s} dgrid")
+
+
+def test_warp_sample_shifted_image_cotangent_shape(rng):
+    """custom_vjp contract on the slab form: the image cotangent must be
+    zero AND shaped like the slab primal [B, Hout+2*halo, W, C], not the
+    output [B, Hout, W, C] (regression: round-4 review caught _bwd_shifted
+    shaping the zeros from dout, which crashes or mis-accumulates for any
+    caller that differentiates through the image)."""
+    from monodepth_tpu.ops.pallas.warp_sample import warp_sample_shifted
+
+    B, Hl, W, C, halo = 1, 16, 128, 2, 8
+    ext = jnp.asarray(rng.uniform(size=(B, Hl + 2 * halo, W, C)),
+                      jnp.float32)
+    grid = jnp.asarray(_warp_grid_np(rng, B, Hl, W, wild_entry=False))
+    out, vjp = jax.vjp(
+        lambda im, g: warp_sample_shifted(im, g, jnp.float32(-halo),
+                                          Hl, True), ext, grid)
+    dimg, dgrid = vjp(jnp.ones_like(out))
+    assert dimg.shape == ext.shape and dimg.dtype == ext.dtype
+    assert float(jnp.abs(dimg).max()) == 0.0
+    assert dgrid.shape == grid.shape

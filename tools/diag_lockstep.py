@@ -1,66 +1,28 @@
 """Diagnose lockstep gradient error structure: per-leaf rel-L2 vs max-norm,
 and whether the error is spread (backend rounding) or concentrated in few
-elements (argmin tie flips in min-reprojection)."""
+elements (argmin tie flips in min-reprojection). The step itself runs
+through the shared harness (tools/lockstep_oracle.lockstep_single_step) —
+the same code path tests/test_lockstep.py asserts on."""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: E402
 
-from tools.lockstep_oracle import TorchTwin, make_lockstep_batches, tie_noise, variant_config
-from monodepth_tpu.training.state import build_model
-from monodepth_tpu.training.step import _loss_from_outputs, apply_and_warp
+from tools.lockstep_oracle import lockstep_single_step  # noqa: E402
 
 
 def main(variant="separate", mode="f32"):
-    double = mode == "f64"
-    if double:
-        jax.config.update("jax_enable_x64", True)
-    dt = np.float64 if double else np.float32
-    cfg = variant_config(variant)
-    twin = TorchTwin(variant, cfg, seed=0, double=double)
-    params, batch_stats = twin.flax_variables()
-    if double:
-        from monodepth_tpu.models.monodepth import Monodepth
-
-        model = Monodepth(num_layers=cfg.num_layers, scales=cfg.scales,
-                          frame_ids=cfg.frame_ids, pose_type=cfg.pose_type,
-                          pose_frames=cfg.pose_frames, dtype=jnp.float64,
-                          nchw_decoder=cfg.nchw_decoder)
-    else:
-        model = build_model(cfg)
-    batch = make_lockstep_batches(cfg, 1, seed=0)[0]
-    for k in ("jitter", "K", "inv_K", "stereo_T"):
-        if k in batch:
-            batch[k] = batch[k].astype(dt)
-    RNG = jax.random.PRNGKey(7)
-    noise = tie_noise(RNG, 0, cfg, dt)
-
-    t_loss = twin.loss(batch, noise)
-    t_loss.backward()
-    t_loss = t_loss.detach()
-    t_grads = twin.grads_flax()
-
-    rng = jax.random.fold_in(RNG, 0)
-    batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
-    to_j = lambda t: jax.tree.map(lambda x: jnp.asarray(x, dt), t)
-
-    def loss_fn(p):
-        variables = {"params": p, "batch_stats": to_j(batch_stats)}
-        out = apply_and_warp(model, variables, batch_j, cfg, train=True)
-        return _loss_from_outputs(out, rng, cfg, train=True)[0]
-
-    j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(to_j(params))
-    print(f"loss rel diff: {abs(float(j_loss)-float(t_loss))/float(t_loss):.2e}")
+    res = lockstep_single_step(variant, double=(mode == "f64"))
+    t_grads, j_grads = res["t_grads"], res["j_grads"]
+    rel = abs(res["j_loss"] - res["t_loss"]) / abs(res["t_loss"])
+    print(f"loss rel diff: {rel:.2e}")
 
     rows = []
     for mod in t_grads:

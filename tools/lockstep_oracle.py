@@ -443,3 +443,130 @@ class TorchTwin:
         loss.backward()
         self.opt.step()
         return float(loss.detach())
+
+
+# ---------------------------------------------------------------- harnesses
+# The single-step and trajectory comparison drivers, shared by
+# tests/test_lockstep.py (short CI run), tools/lockstep_parity.py (the
+# 200-step documentation run) and tools/diag_lockstep.py (error-structure
+# diagnosis) so the three surfaces cannot drift apart.
+
+LOCKSTEP_RNG_SEED = 7  # the TrainState rng both sides draw tie noise from
+
+
+def lockstep_single_step(variant: str, double: bool = True):
+    """One train step in both frameworks from a shared converted init.
+
+    Returns {"t_loss", "j_loss" (floats), "t_grads", "j_grads"
+    (per-module gradient trees)}. With double=True everything runs in
+    float64 under `jax.enable_x64`, where backend rounding vanishes
+    (~1e-14) and only semantic differences remain."""
+    import jax
+    import jax.numpy as jnp
+
+    from monodepth_tpu.training.step import _loss_from_outputs, apply_and_warp
+
+    with jax.enable_x64(double):
+        dt = np.float64 if double else np.float32
+        jdt = jnp.float64 if double else jnp.float32
+        cfg = variant_config(variant)
+        twin = TorchTwin(variant, cfg, seed=0, double=double)
+        params, batch_stats = twin.flax_variables()
+        if double:
+            from monodepth_tpu.models.monodepth import Monodepth
+
+            model = Monodepth(num_layers=cfg.num_layers, scales=cfg.scales,
+                              frame_ids=cfg.frame_ids,
+                              pose_type=cfg.pose_type,
+                              pose_frames=cfg.pose_frames, dtype=jnp.float64,
+                              nchw_decoder=cfg.nchw_decoder)
+        else:
+            from monodepth_tpu.training.state import build_model
+
+            model = build_model(cfg)
+        batch = make_lockstep_batches(cfg, 1, seed=0)[0]
+        for k in ("jitter", "K", "inv_K", "stereo_T"):
+            if k in batch:
+                batch[k] = batch[k].astype(dt)
+        rng0 = jax.random.PRNGKey(LOCKSTEP_RNG_SEED)
+        noise = tie_noise(rng0, 0, cfg, dt)
+
+        # torch side: loss + grads (grads convert via the production
+        # importers, which preserve f64)
+        t_loss = twin.loss(batch, noise)
+        t_loss.backward()
+        t_grads = twin.grads_flax()
+
+        # jax side: the framework's own loss graph (training/step.py)
+        rng = jax.random.fold_in(rng0, 0)
+        batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+        to_j = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jnp.asarray(x, jdt), t)
+
+        def loss_fn(p):
+            variables = {"params": p, "batch_stats": to_j(batch_stats)}
+            out = apply_and_warp(model, variables, batch_j, cfg, train=True)
+            return _loss_from_outputs(out, rng, cfg, train=True)[0]
+
+        j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(to_j(params))
+        return {"t_loss": float(t_loss.detach()), "j_loss": float(j_loss),
+                "t_grads": t_grads, "j_grads": jax.device_get(j_grads)}
+
+
+def lockstep_trajectory(variant: str, steps: int, num_batches: int = 4,
+                        check_structure: bool = True,
+                        verbose_every: int = 0):
+    """`steps` lockstep Adam steps at f32 (production precision).
+
+    Returns {"torch_losses", "jax_losses", "rel_diffs"} (python floats,
+    one per step). check_structure asserts the converted tree IS the
+    model's init tree (importer completeness guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from monodepth_tpu.training.state import (
+        TrainState, build_model, make_optimizer)
+    from monodepth_tpu.training.step import make_train_step
+
+    cfg = variant_config(variant)
+    twin = TorchTwin(variant, cfg, seed=0)
+    params, batch_stats = twin.flax_variables()
+    model = build_model(cfg)
+    batches = make_lockstep_batches(cfg, num_batches=num_batches, seed=0)
+
+    if check_structure:
+        ref = model.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, len(cfg.frame_ids), cfg.height,
+                                    cfg.width, 3), jnp.float32), train=False)
+        assert jax.tree.structure(params) == jax.tree.structure(
+            dict(ref["params"]))
+        assert jax.tree.structure(batch_stats) == jax.tree.structure(
+            dict(ref["batch_stats"]))
+
+    to_f32 = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jnp.asarray(x, jnp.float32), t)
+    rng0 = jax.random.PRNGKey(LOCKSTEP_RNG_SEED)
+    tx = make_optimizer(cfg, steps_per_epoch=10 ** 6)  # constant lr window
+    params = to_f32(params)
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       batch_stats=to_f32(batch_stats),
+                       opt_state=tx.init(params), rng=rng0)
+    step = make_train_step(model, tx, cfg, donate=False)
+    twin.init_optimizer(cfg.learning_rate)
+
+    t_losses, j_losses, diffs = [], [], []
+    for k in range(steps):
+        batch = batches[k % len(batches)]
+        noise = tie_noise(rng0, k, cfg)
+        t_loss = twin.train_step(batch, noise)
+        state, metrics = step(state, {k_: jnp.asarray(v)
+                                      for k_, v in batch.items()})
+        j_loss = float(metrics["loss"])
+        t_losses.append(t_loss)
+        j_losses.append(j_loss)
+        diffs.append(abs(j_loss - t_loss) / abs(t_loss))
+        if verbose_every and (k + 1) % verbose_every == 0:
+            print(f"    step {k+1:4d}: torch {t_loss:.6f} jax {j_loss:.6f} "
+                  f"rel {diffs[-1]:.2e}", flush=True)
+    return {"torch_losses": t_losses, "jax_losses": j_losses,
+            "rel_diffs": diffs}
