@@ -139,3 +139,74 @@ def test_export_inference_stablehlo_roundtrip(tmp_path):
         assert got.shape == (b, 32, 64)
         rel = float((jnp.abs(got - want) / (jnp.abs(want) + 1e-6)).max())
         assert rel < 1e-5, rel
+
+
+# ---------------------------------------------------------- prepare_kitti
+def _make_kitti_zip(tmp_path):
+    """A miniature KITTI raw archive: one camera png + one velodyne bin."""
+    import zipfile
+
+    from PIL import Image
+
+    drive = "2011_09_26/2011_09_26_drive_0001_sync"
+    src = tmp_path / "srcs"
+    img_dir = src / drive / "image_02" / "data"
+    velo_dir = src / drive / "velodyne_points" / "data"
+    img_dir.mkdir(parents=True)
+    velo_dir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    Image.fromarray(rng.integers(0, 255, (16, 32, 3), np.uint8)).save(
+        img_dir / "0000000000.png")
+    (velo_dir / "0000000000.bin").write_bytes(b"\x00" * 64)
+    zpath = tmp_path / "2011_09_26_drive_0001_sync.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted(src.rglob("*")):
+            if p.is_file():
+                zf.write(p, p.relative_to(src))
+    return zpath, drive
+
+
+def test_prepare_kitti_end_to_end(tmp_path):
+    """download (file:// URL, resumable path) -> unzip (idempotent) ->
+    to_jpeg (quality-92 4:2:0 camera frames only; velodyne untouched),
+    then re-run every step: all no-ops."""
+    from tools.prepare_kitti import main as prep
+
+    zpath, drive = _make_kitti_zip(tmp_path)
+    out = tmp_path / "dataset"
+    archives = tmp_path / "archives.txt"
+    archives.write_text(f"file://{zpath}\n")
+
+    prep(["--out", str(out), "--archives", str(archives), "--jobs", "2"])
+
+    png = out / drive / "image_02" / "data" / "0000000000.png"
+    jpg = out / drive / "image_02" / "data" / "0000000000.jpg"
+    velo = out / drive / "velodyne_points" / "data" / "0000000000.bin"
+    assert jpg.exists() and not png.exists()
+    assert velo.read_bytes() == b"\x00" * 64
+    assert (out / "zips" / zpath.name).stat().st_size == zpath.stat().st_size
+
+    from PIL import Image
+
+    with Image.open(jpg) as im:
+        assert im.size == (32, 16) and im.format == "JPEG"
+
+    # idempotent re-run: nothing re-converted, the jpg survives
+    before = jpg.stat().st_mtime_ns
+    prep(["--out", str(out), "--archives", str(archives), "--jobs", "2"])
+    assert jpg.stat().st_mtime_ns == before
+
+
+def test_prepare_kitti_resumes_partial_download(tmp_path):
+    """A stale .part file must not corrupt the artifact: the downloader
+    restarts (file:// ignores Range) and lands the exact bytes."""
+    from tools.prepare_kitti import download_one
+
+    src = tmp_path / "src.zip"
+    src.write_bytes(b"ABCDEFGH" * 100)
+    zip_dir = tmp_path / "zips"
+    zip_dir.mkdir()
+    (zip_dir / "src.zip.part").write_bytes(b"ABC")  # stale partial
+    msg = download_one(f"file://{src}", str(zip_dir))
+    assert (zip_dir / "src.zip").read_bytes() == src.read_bytes()
+    assert "src.zip" in msg
