@@ -153,6 +153,12 @@ class Config:
             raise ValueError("height/width must be multiples of 32 (reference: kitti_mono.py:264)")
         if cfg.frame_ids[0] != 0:
             raise ValueError("frame_ids must start with the key frame 0")
+        if 0 not in cfg.scales:
+            # the metric/eval path consumes the full-res disparity
+            # ("depth0"); without scale 0 it would crash a full epoch in
+            # (training/step.py _metrics) instead of failing here
+            raise ValueError("scales must include 0 (the full-res output "
+                             "every eval/metric path consumes)")
         if cfg.pose_type not in ("posecnn", "shared", "separate"):
             raise ValueError(f"unknown pose_type {cfg.pose_type!r}")
         if cfg.dataset not in ("kitti_mono", "kitti_stereo"):

@@ -80,8 +80,12 @@ def color_jitter(img: Array, jitter: Array) -> Array:
 
     out = jnp.clip(img * bright, 0.0, 1.0)
 
-    gray_mean = _grayscale(out).mean(
-        axis=tuple(range(1, img.ndim - 1)), keepdims=True)
+    # torchvision adjust_contrast blends toward EACH image's own gray
+    # mean — over (H, W) only, so a [B, F, H, W, 3] frame stack jitters
+    # per frame exactly as the reference's per-PIL-image ColorJitter does
+    # (a joint mean over F would shift every frame's contrast whenever
+    # the -1/0/+1 frames differ in exposure)
+    gray_mean = _grayscale(out).mean(axis=(-3, -2), keepdims=True)
     out = jnp.clip(contrast * out + (1.0 - contrast) * gray_mean, 0.0, 1.0)
 
     out = jnp.clip(sat * out + (1.0 - sat) * _grayscale(out), 0.0, 1.0)

@@ -52,10 +52,14 @@ class Loader:
         if process_count is None:
             process_count = jax.process_count()
             process_index = jax.process_index()
+        elif process_index is None:
+            # silently defaulting to rank 0 would make every host load
+            # the same slice — a duplicated global batch, not a sharded one
+            raise ValueError("process_count given without process_index")
         if batch_size % process_count:
             raise ValueError(f"global batch {batch_size} not divisible by "
                              f"{process_count} processes")
-        self.process_index = process_index or 0
+        self.process_index = process_index
         self.process_count = process_count
         self.local_batch = batch_size // process_count
         self._pool: Optional[ThreadPoolExecutor] = None

@@ -55,7 +55,19 @@ class Monodepth(nn.Module):
         return len(self.temporal_ids) if self.pose_frames == "all" else 2
 
     def invert_for_frame(self, frame_id: int) -> bool:
-        """Whether the predicted transform must be inverted at warp time."""
+        """Whether the predicted transform must be inverted at warp time.
+
+        In "all" mode no transform is inverted: the joint pass predicts
+        each source->target motion directly (reference processor.py:131-135
+        builds every c2c with param2matrix's default invert=False).
+        DELIBERATE DEVIATION for posecnn+"all": the reference's warp loop
+        (processor.py:153-157) rebuilds posecnn transforms from the stored
+        FULL prediction with index 0 and invert=(frame_id<0) — in "all"
+        mode that discards every per-frame prediction and warps all frames
+        with slot 0, a bug (official Monodepth2 doesn't support the combo
+        at all: its posecnn warp path KeyErrors in "all" mode). We use the
+        per-frame predictions with no invert, consistent with
+        shared/separate "all" semantics."""
         return self.pose_frames != "all" and frame_id < 0
 
     def setup(self):

@@ -141,6 +141,11 @@ int mdt_decode_resize(const uint8_t* data, long size, int out_h, int out_w,
                       int flip, uint8_t* out) {
   jpeg_decompress_struct cinfo;
   ErrorMgr err;
+  // Declared BEFORE setjmp: a longjmp from a libjpeg callback must not
+  // jump over a live vector's construction (UB + leaks the decode buffer
+  // on every corrupt JPEG); declared here it is destroyed normally when
+  // the function returns through either path.
+  std::vector<uint8_t> raw;
   cinfo.err = jpeg_std_error(&err.pub);
   err.pub.error_exit = error_exit;
   if (setjmp(err.jump)) {
@@ -166,7 +171,7 @@ int mdt_decode_resize(const uint8_t* data, long size, int out_h, int out_w,
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
-  std::vector<uint8_t> raw(static_cast<size_t>(w) * h * 3);
+  raw.resize(static_cast<size_t>(w) * h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = raw.data() + static_cast<size_t>(cinfo.output_scanline) * w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);

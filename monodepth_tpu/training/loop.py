@@ -21,6 +21,7 @@ import time
 from typing import Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from monodepth_tpu.config import Config
@@ -154,10 +155,14 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.data_parallel or 0)
         warm_collectives(self.mesh)  # multi-host: pin comm clique before
-        ndev = self.mesh.devices.size  # the big train-step compile
-        if cfg.batch % ndev:
+        # the big train-step compile. Batches shard over the "data" axis
+        # only (H goes to "spatial" — parallel/mesh.py batch_sharding), so
+        # divisibility is against data, not devices: a (data=4, spatial=2)
+        # mesh takes --batch 12 fine.
+        ndata = self.mesh.shape["data"]
+        if cfg.batch % ndata:
             raise ValueError(f"global batch {cfg.batch} not divisible by "
-                             f"{ndev} devices")
+                             f"the mesh's data axis ({ndata})")
 
         split_dir = os.path.join(cfg.splits, cfg.datatype)
         if train_files is None:
@@ -195,7 +200,7 @@ class Trainer:
                                   pretrained=load_pretrained(cfg))
         self.state = replicate(self.mesh, self.state)
 
-        step_mesh = self.mesh if ndev > 1 else None
+        step_mesh = self.mesh if self.mesh.devices.size > 1 else None
         if cfg.steps_per_call > 1:
             self.train_step = make_train_multi_step(self.model, self.tx,
                                                     cfg, donate=cfg.donate,
@@ -313,7 +318,8 @@ class Trainer:
             if training:
                 self.state, metrics = step_fn(self.state, batch)
             else:
-                metrics = step_fn(self.state, batch)
+                metrics = step_fn(self.state, batch,
+                                  jnp.uint32(step))  # per-batch tie noise
             meter.update(metrics)
             images += cfg.batch * K
             if training and cfg.log_every and (step + 1) % cfg.log_every == 0:
@@ -425,9 +431,13 @@ class Trainer:
             return {k: (None if math.isnan(float(v)) else float(v))
                     for k, v in log.items()}
 
-        record = {"epoch": epoch, "time": time.time(),
-                  "lr": float(self.cfg.learning_rate
-                              * 0.1 ** (epoch // self.cfg.scheduler_step)),
+        from monodepth_tpu.training.state import step_decay_schedule
+
+        # the exact schedule the optimizer applies (one source of truth):
+        # steps_per_epoch=1 + step=epoch evaluates StepLR at this epoch
+        lr = step_decay_schedule(self.cfg.learning_rate,
+                                 self.cfg.scheduler_step, 1)(epoch)
+        record = {"epoch": epoch, "time": time.time(), "lr": float(lr),
                   "train": clean(train_log), "valid": clean(valid_log)}
         if eigen_log:
             record["eigen"] = clean(eigen_log)

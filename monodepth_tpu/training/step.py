@@ -351,10 +351,18 @@ def make_train_multi_step(model: Monodepth, tx: optax.GradientTransformation,
 
 def make_eval_step(model: Monodepth, cfg: Config, mesh=None):
     """Validation step: full forward + loss + metrics, no mutation
-    (reference: model_train.py:75-79 `no_grad` valid loop)."""
+    (reference: model_train.py:75-79 `no_grad` valid loop).
 
-    def eval_step(state: TrainState, batch: Dict[str, Array]):
-        rng = jax.random.fold_in(state.rng, state.step)
+    `index` is the batch number within the pass: state.step and state.rng
+    are constant during validation, so without it every batch would see
+    the SAME automask tie-break noise field (the reference draws fresh
+    torch.randn per batch, processor.py:195). Pass a uint32 array, not a
+    python int — an int retraces per value."""
+
+    def eval_step(state: TrainState, batch: Dict[str, Array],
+                  index: Array = jnp.uint32(0)):
+        rng = jax.random.fold_in(
+            jax.random.fold_in(state.rng, state.step), index)
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         out = apply_and_warp(model, variables, batch, cfg, train=False,

@@ -314,3 +314,22 @@ def test_put_global_single_process_matches_device_put(kitti_tree):
     for k, v in batch.items():
         np.testing.assert_array_equal(np.asarray(out[k]), v)
         assert out[k].sharding.is_equivalent_to(shardings[k], v.ndim)
+
+
+def test_color_jitter_contrast_mean_is_per_frame(rng):
+    """A [B, F, H, W, 3] stack must blend each frame toward ITS OWN gray
+    mean (torchvision adjust_contrast applied per PIL image, as the
+    reference does) — not a joint mean over all F frames (regression:
+    round-4 review)."""
+    import jax.numpy as jnp
+
+    frames = rng.uniform(0, 1, (1, 2, 4, 6, 3)).astype(np.float32)
+    frames[:, 1] *= 0.2  # a much darker second frame
+    jit = jnp.asarray([[1, 1.0, 0.9, 1.0, 0.0]])  # contrast only
+    out = np.asarray(augment.color_jitter(jnp.asarray(frames), jit))
+    gray = (frames * np.array([0.299, 0.587, 0.114])).sum(-1, keepdims=True)
+    for f in range(2):
+        want = np.clip(0.9 * frames[:, f]
+                       + 0.1 * gray[:, f].mean(), 0, 1)
+        np.testing.assert_allclose(out[:, f], want, atol=1e-6,
+                                   err_msg=f"frame {f}")
