@@ -210,3 +210,25 @@ def test_prepare_kitti_resumes_partial_download(tmp_path):
     msg = download_one(f"file://{src}", str(zip_dir))
     assert (zip_dir / "src.zip").read_bytes() == src.read_bytes()
     assert "src.zip" in msg
+
+
+def test_plot_curves(tmp_path):
+    """tools/plot_curves.py (the reference's Tools.show_graph surface):
+    loads train/valid .npy curves and writes a PNG grid; headless-safe."""
+    from tools.plot_curves import load_curves, main
+
+    loss = tmp_path / "run" / "loss"
+    loss.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for split in ("train", "valid"):
+        for metric in ("loss", "abs_rel", "a1"):
+            np.save(loss / f"{split}_{metric}.npy", rng.random(5))
+    curves = load_curves(str(tmp_path / "run"))
+    assert set(curves) == {"loss", "abs_rel", "a1"}
+    assert set(curves["loss"]) == {"train", "valid"}
+
+    out = tmp_path / "curves.png"
+    assert main([str(tmp_path / "run"), str(out)]) == 0
+    assert out.stat().st_size > 1000
+
+    assert main([str(tmp_path)]) == 1  # no curves -> clear failure
