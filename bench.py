@@ -95,7 +95,8 @@ def main():
         if i % 30 == 29:
             print(f"warmup {i + 1}/{args.warmup} "
                   f"loss {float(metrics['loss']):.4f}", file=sys.stderr)
-    _ = float(metrics["loss"])
+    if args.warmup:
+        _ = float(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(TIMED_STEPS):

@@ -13,6 +13,7 @@ with monodepth_tpu/utils/torch_import.py first.
 """
 
 import argparse
+import os
 
 from monodepth_tpu.utils.platform import apply_env_platform
 
@@ -50,9 +51,10 @@ def main():
                    help="cache dir for projected velodyne GT ('' disables)")
     args = p.parse_args()
 
-    import os
-
-    from monodepth_tpu.evaluation.eigen import detect_scales
+    from monodepth_tpu.evaluation.eigen import (
+        detect_scales,
+        parse_weights_spec,
+    )
 
     lines = kitti.readlines(os.path.join(
         args.splits, args.datatype, "test_files.txt"))
@@ -72,14 +74,14 @@ def main():
         print(f">>> eval mesh: {dict(mesh.shape)}")
 
     for spec in args.weights:
-        directory, _, epoch = spec.rpartition(":")
-        scales = (args.scales or detect_scales(directory, int(epoch))
+        directory, epoch = parse_weights_spec(spec)
+        scales = (args.scales or detect_scales(directory, epoch)
                   or (0, 1, 2, 3))
         cfg = Config(datapath=args.datapath, splits=args.splits,
                      datatype=args.datatype, num_layers=args.num_layers,
                      height=args.height, width=args.width, scales=scales,
                      weight_init=False)
-        state = state_from_modules(cfg, directory, int(epoch))
+        state = state_from_modules(cfg, directory, epoch)
         from monodepth_tpu.evaluation.eigen import (
             eigen_metrics,
             predict_disparities,
@@ -90,9 +92,16 @@ def main():
         if args.save_pred_disps:
             import numpy as np
 
-            np.save(args.save_pred_disps, disps)
-            print(f">>> saved predicted disparities to "
-                  f"{args.save_pred_disps} {disps.shape}")
+            # one file per weights set: a fixed path would silently keep
+            # only the LAST set's predictions when several are evaluated
+            path = args.save_pred_disps
+            if len(args.weights) > 1:
+                root, ext = os.path.splitext(path)
+                path = f"{root}_{os.path.basename(directory)}_{epoch}" \
+                       f"{ext or '.npy'}"
+            np.save(path, disps)
+            print(f">>> saved predicted disparities to {path} "
+                  f"{disps.shape}")
         metrics = eigen_metrics(disps, ground_truths, cfg.datatype)
         print_table(spec, metrics)
 

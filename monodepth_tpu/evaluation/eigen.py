@@ -208,6 +208,17 @@ def evaluate(cfg: Config, state: TrainState,
     return eigen_metrics(disps, ground_truths, cfg.datatype)
 
 
+def parse_weights_spec(spec: str) -> tuple[str, int]:
+    """`<dir>:<epoch>` -> (dir, epoch). The LAST colon splits, so a
+    directory path containing colons still parses (the one shared parser
+    for model_test.py / infer_image.py / export_poses.py /
+    export_inference.py — these drifted apart once)."""
+    directory, sep, epoch = spec.rpartition(":")
+    if not sep or not epoch.isdigit():
+        raise ValueError(f"weights spec {spec!r} must be <dir>:<epoch>")
+    return directory, int(epoch)
+
+
 def detect_scales(weights_dir: str, epoch: int) -> tuple[int, ...] | None:
     """Infer the training scales from a decoder npz export (its
     `dispconv_<s>` heads). Returns None if no decoder file exists."""

@@ -232,3 +232,16 @@ def test_plot_curves(tmp_path):
     assert out.stat().st_size > 1000
 
     assert main([str(tmp_path)]) == 1  # no curves -> clear failure
+
+
+def test_parse_weights_spec():
+    """The one shared <dir>:<epoch> parser (four CLIs drifted apart once:
+    last-colon split so paths containing colons still work)."""
+    from monodepth_tpu.evaluation.eigen import parse_weights_spec
+
+    assert parse_weights_spec("./model_save/mono:22") == \
+        ("./model_save/mono", 22)
+    assert parse_weights_spec("./runs/12:30/mono:7") == ("./runs/12:30/mono", 7)
+    for bad in ("no_epoch", "dir:", "dir:abc", ":5x"):
+        with pytest.raises(ValueError):
+            parse_weights_spec(bad)

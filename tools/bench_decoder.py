@@ -105,8 +105,8 @@ def chain_im2col(x, w1, b1, w2, b2):
             [lax.slice(xp, (0, dy, dx, 0),
                        (B, dy + H, dx + W, xp.shape[3]))
              for dy in range(3) for dx in range(3)], axis=-1)
-        wf = w.transpose(0, 1, 2, 3).reshape(-1, w.shape[3])
-        return patches.reshape(B, H, W, -1) @ wf + b
+        wf = w.reshape(-1, w.shape[3])
+        return patches @ wf + b
 
     y = jax.nn.elu(conv(pad_reflect_nhwc(x), w1, b1))
     d = conv(pad_reflect_nhwc(y), w2, b2)

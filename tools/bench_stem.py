@@ -81,7 +81,7 @@ def conv_im2col(x, k):
                 xp, (0, dy, dx, 0), (B, dy + H, dx + W, c), (1, 2, 2, 1)))
     patches = jnp.concatenate(cols, axis=-1)  # [B, H/2, W/2, 49C]
     return patches.reshape(B, (H // 2) * (W // 2), 49 * c) @ \
-        k.transpose(0, 1, 2, 3).reshape(49 * c, k.shape[3])
+        k.reshape(49 * c, k.shape[3])
 
 
 def make_step(fn, out_reshape=None):
@@ -98,7 +98,7 @@ def make_step(fn, out_reshape=None):
     return step
 
 
-def run(cin):
+def run(cin, iters=30):
     key = jax.random.PRNGKey(cin)
     kx, kk = jax.random.split(key)
     x = jax.random.normal(kx, (B, H, W, cin), DTYPE)
@@ -121,17 +121,19 @@ def run(cin):
         loss, dk, xi = step(k, xi)
         _ = float(loss)
         t0 = time.perf_counter()
-        for _ in range(30):
+        for _ in range(iters):
             loss, dk, xi = step(k, xi)
         _ = float(loss)
-        dt = (time.perf_counter() - t0) / 30 * 1e3
+        dt = (time.perf_counter() - t0) / iters * 1e3
         print(f"  C={cin} {name:22s} {dt:8.2f} ms/iter (fwd+dW)")
 
 
 def main():
-    argparse.ArgumentParser(description=__doc__).parse_args()
-    run(3)
-    run(6)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--iters", default=30, type=int)
+    args = p.parse_args()
+    run(3, args.iters)
+    run(6, args.iters)
 
 
 if __name__ == "__main__":

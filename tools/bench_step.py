@@ -11,7 +11,9 @@ barrier here):
               shapes/dtypes — isolates the in-situ cost of the 8 warp
               gathers (everything else, incl. their interpolation
               arithmetic, stays)
-  nometrics   --train_gt_metrics false (drops the GT median sort)
+  gtmetrics   --train_gt_metrics true (ADDS the in-step GT median
+              sort; the production default is false, so "full" is
+              already metrics-free)
 """
 
 from __future__ import annotations
@@ -51,7 +53,8 @@ def main():
     p.add_argument("--variants", default="full,nopallas,nogather",
                    help="full (default cfg incl. the Pallas warp on TPU) | "
                         "nopallas (jnp packed gather) | nogather (fake "
-                        "sampler) | nometrics (adds the GT median sort)")
+                        "sampler) | gtmetrics (adds the in-step GT median "
+                        "sort)")
     args = p.parse_args()
 
     real_grid_sample = step_mod.grid_sample
@@ -70,7 +73,7 @@ def main():
         cfg = Config(height=args.height, width=args.width, batch=args.batch,
                      weight_init=False, remat=args.remat,
                      use_pallas=(variant not in ("nopallas", "nogather")),
-                     train_gt_metrics=(variant == "nometrics"))
+                     train_gt_metrics=(variant == "gtmetrics"))
         step_mod.grid_sample = (fake_grid_sample if variant == "nogather"
                                 else real_grid_sample)
         try:

@@ -85,10 +85,13 @@ def main():
     args = p.parse_args()
 
     from monodepth_tpu.config import Config
-    from monodepth_tpu.evaluation.eigen import detect_scales, state_from_modules
+    from monodepth_tpu.evaluation.eigen import (
+        detect_scales,
+        parse_weights_spec,
+        state_from_modules,
+    )
 
-    wdir, _, epoch = args.weights.partition(":")
-    epoch = int(epoch or 0)
+    wdir, epoch = parse_weights_spec(args.weights)
     scales = detect_scales(wdir, epoch) or (0, 1, 2, 3)
     cfg = Config(height=args.height, width=args.width,
                  num_layers=args.num_layers, precision=args.precision,

@@ -54,10 +54,13 @@ def main():
     p.add_argument("--out", default="poses.npy", type=str)
     args = p.parse_args()
 
-    from monodepth_tpu.evaluation.eigen import detect_scales
+    from monodepth_tpu.evaluation.eigen import (
+        detect_scales,
+        parse_weights_spec,
+    )
 
-    directory, _, epoch = args.weights.rpartition(":")
-    scales = (args.scales or detect_scales(directory, int(epoch))
+    directory, epoch = parse_weights_spec(args.weights)
+    scales = (args.scales or detect_scales(directory, epoch)
               or (0, 1, 2, 3))
     # frame_ids=(0, 1): one pose pair per forward — poses[1] then indexes
     # the second frame explicitly (the default (0,-1,1) would also run a
@@ -67,7 +70,7 @@ def main():
                  height=args.height, width=args.width, scales=scales,
                  pose_type=args.pose_type, weight_init=False,
                  frame_ids=(0, 1))
-    state = state_from_modules(cfg, directory, int(epoch))
+    state = state_from_modules(cfg, directory, epoch)
     model = build_model(cfg)
 
     lines = kitti.readlines(os.path.join(
@@ -92,7 +95,6 @@ def main():
         aa, t = poses[1]
         return transform_from_parameters(aa, t, invert=False)
 
-    rng = np.random.default_rng(0)
     relatives = []
     frames = np.empty((args.batch, 2, cfg.height, cfg.width, 3), np.uint8)
     for start in range(0, len(pairs), args.batch):

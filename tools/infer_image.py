@@ -47,16 +47,19 @@ def main():
     p.add_argument("--max_depth", default=100.0, type=float)
     args = p.parse_args()
 
-    from monodepth_tpu.evaluation.eigen import detect_scales
+    from monodepth_tpu.evaluation.eigen import (
+        detect_scales,
+        parse_weights_spec,
+    )
 
-    directory, _, epoch = args.weights.rpartition(":")
-    scales = (args.scales or detect_scales(directory, int(epoch))
+    directory, epoch = parse_weights_spec(args.weights)
+    scales = (args.scales or detect_scales(directory, epoch)
               or (0, 1, 2, 3))
     cfg = Config(num_layers=args.num_layers, height=args.height,
                  width=args.width, scales=scales,
                  min_depth=args.min_depth, max_depth=args.max_depth,
                  weight_init=False)
-    state = state_from_modules(cfg, directory, int(epoch))
+    state = state_from_modules(cfg, directory, epoch)
     model = build_model(cfg)
     infer = make_infer_step(model, cfg)
 

@@ -69,9 +69,16 @@ def download_one(url: str, zip_dir: str, chunk: int = 1 << 20) -> str:
     try:
         resp = urllib.request.urlopen(req, timeout=120)
     except urllib.error.HTTPError as e:
-        if e.code == 416 and have:  # already fully fetched, not renamed
+        if e.code == 416 and have and have == total:
+            # already fully fetched, just not renamed; an over-long or
+            # wrong-size .part (changed remote, corrupt append) must NOT
+            # be promoted — start that file over
             os.replace(part, dst)
             return f"done {name}"
+        if e.code == 416:
+            os.remove(part)
+            raise IOError(f"{name}: stale partial ({have} bytes vs remote "
+                          f"{total}); removed — re-run to re-download")
         raise
     mode = "ab" if have and resp.status == 206 else "wb"
     with resp, open(part, mode) as f:

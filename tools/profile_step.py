@@ -71,7 +71,8 @@ def main():
         if i % 30 == 29:
             print(f"warmup {i + 1}/{args.warmup} "
                   f"loss {float(metrics['loss']):.4f}", file=sys.stderr)
-    _ = float(metrics["loss"])
+    if args.warmup:
+        _ = float(metrics["loss"])
 
     trace_dir = args.out or tempfile.mkdtemp(prefix="monodepth_trace_")
     with jax.profiler.trace(trace_dir):

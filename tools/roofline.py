@@ -94,7 +94,8 @@ def main():
     if args.measure and not step_ms:
         for i in range(args.warmup):
             state, metrics = step(state, batch)
-        _ = float(metrics["loss"])
+        if args.warmup:
+            _ = float(metrics["loss"])
         t0 = time.perf_counter()
         n = 20
         for _ in range(n):
