@@ -51,7 +51,20 @@ def _host_key() -> str:
     return hashlib.sha1(feat.encode()).hexdigest()[:12]
 
 
-_LIB = os.path.join(_DIR, f"libmdt_host-{_host_key()}.so")
+def _lib_dir() -> str:
+    """Where the built .so lives: next to the source in a checkout, or a
+    per-user cache dir when the package is installed read-only
+    (pip install into site-packages)."""
+    if os.access(_DIR, os.W_OK):
+        return _DIR
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    d = os.path.join(base, "monodepth_tpu")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+_LIB = os.path.join(_lib_dir(), f"libmdt_host-{_host_key()}.so")
 
 _lock = threading.Lock()
 _lib = None
