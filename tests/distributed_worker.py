@@ -100,6 +100,22 @@ def main():
               "local_devices": jax.local_device_count(),
               "processes": jax.process_count()}
 
+    # Multi-host Eigen test sweep (evaluation/eigen.py evaluate_multihost,
+    # the --eigen_every path): every process sweeps its interleaved slice
+    # of the test split on its LOCAL devices, one allgather combines the
+    # per-image error sums. The metrics are a mean over the same
+    # per-image error set regardless of process layout, so the 2-process
+    # values must match the single-process oracle's.
+    from monodepth_tpu.evaluation import eigen
+
+    test_lines = readlines(os.path.join(args.splits, cfg.datatype,
+                                        "test_files.txt"))
+    local_lines = eigen.process_slice(test_lines)
+    gts = eigen.load_ground_truth(cfg.datapath, local_lines)
+    result["eigen"] = eigen.evaluate_multihost(
+        cfg, state, local_lines, gts, eval_batch=4, num_workers=2)
+    result["eigen_local_images"] = len(local_lines)
+
     if args.ckpt_dir:
         # Multi-host checkpoint contract (SURVEY §5.4/§5.8): EVERY process
         # calls save/restore — Orbax coordinates the write internally

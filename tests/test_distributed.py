@@ -74,9 +74,13 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
     # 1-CPU host) get ONE retry with a fresh port — gated on their log
     # signatures below, so a deterministic crash inside the train step
     # (or a loss mismatch) never retries; those would be real bugs.
-    spawn_sigs = ("connection refused", "connect timed out", "gloo",
-                  "coordinator", "deadline_exceeded", "unavailable",
-                  "barrier", "bind")
+    # NOTE: signatures must be failure-specific. Bare "gloo"/"coordinator"
+    # match the NORMAL "[Gloo] Rank N is connected" / distributed-init
+    # banners every worker prints, which silently turned the gate into
+    # retry-on-anything (observed: a deterministic worker crash retried).
+    spawn_sigs = ("connection refused", "timed out",
+                  "deadline_exceeded", "unavailable",
+                  "address already in use", "failed to bind")
     retried = False
     outs = [str(tmp_path / f"multi{i}.json") for i in range(2)]
     for attempt in range(2):
@@ -149,3 +153,12 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
     # async form: cross-process commit barrier + bit-identical restore
     assert multi["async_ckpt_ok"] is True, multi
     assert single["async_ckpt_ok"] is True, single
+
+    # Multi-host Eigen sweep (--eigen_every's evaluate_multihost path):
+    # the 2-process sweep splits the test lines across ranks (rank 0 sees
+    # only its slice) yet the allgathered metrics equal the
+    # single-process oracle's — same per-image error set, same mean.
+    assert multi["eigen_local_images"] < single["eigen_local_images"]
+    for key, value in single["eigen"].items():
+        assert multi["eigen"][key] == pytest.approx(value, rel=1e-4), \
+            (key, single["eigen"], multi["eigen"])

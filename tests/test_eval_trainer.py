@@ -104,6 +104,53 @@ def test_predict_disparities_mesh_matches_single(kitti_tree):
     np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=1e-7)
 
 
+def test_evaluate_multihost_single_process(kitti_tree):
+    """evaluate_multihost (per-process local sweep + allgathered error
+    sums) degenerates to the plain protocol single-process: identical
+    metrics to evaluate(); its failure contract turns any local (or
+    pre-collective, via `failure=`) exception into a RuntimeError AFTER
+    the collective, so no rank can deadlock its peers."""
+    from monodepth_tpu.data import kitti as K
+    from monodepth_tpu.evaluation.eigen import (
+        eigen_errors,
+        evaluate_multihost,
+        load_ground_truth,
+        process_slice,
+    )
+    from monodepth_tpu.training.state import (
+        build_model,
+        create_state,
+        make_optimizer,
+    )
+
+    root, splits = kitti_tree
+    cfg = Config(datapath=root, splits=splits, height=32, width=64,
+                 scales=(0, 1), precision="f32", weight_init=False,
+                 use_pallas=False).validate()
+    lines = K.readlines(
+        os.path.join(splits, "kitti_eigen_zhou", "test_files.txt"))
+    assert process_slice(lines) == lines  # 1 process: the whole split
+    gts = load_ground_truth(root, lines)
+    state = create_state(cfg, build_model(cfg), make_optimizer(cfg, 1))
+
+    oracle = evaluate(cfg, state, lines, gts, eval_batch=3)
+    multi = evaluate_multihost(cfg, state, lines, gts, eval_batch=3,
+                               num_workers=2)
+    assert set(multi) == set(METRIC_NAMES)
+    for key in METRIC_NAMES:
+        assert multi[key] == pytest.approx(oracle[key], rel=2e-5), key
+
+    # a rank that failed BEFORE the call keeps the collective alive and
+    # raises consistently afterwards
+    with pytest.raises(RuntimeError, match=r"process\(es\) \[0\].*boom"):
+        evaluate_multihost(cfg, state, [], [], failure=ValueError("boom"))
+    # a local failure inside the sweep does the same
+    with pytest.raises(RuntimeError, match="lines vs 1 ground truths"):
+        evaluate_multihost(cfg, state, lines, gts[:1])
+
+    assert eigen_errors(np.zeros((0, 4, 4)), []).shape == (0, 7)
+
+
 def test_eigen_protocol_perfect_prediction():
     """A disparity field that matches GT exactly must score ~0 error /
     a1 = 1 under the protocol (median scaling makes it scale-free)."""
