@@ -2,7 +2,10 @@
 headline config — 640x192, batch 12, ResNet-18, separate pose, full
 min-reprojection + automask + smoothness loss (BASELINE.json config 3).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"spread"} — value is the median of 3 disjoint timed windows and spread
+their (max-min)/median, so a real regression is distinguishable from
+the ~1% run-to-run noise.
 
 STEADY-STATE measurement: the model is first trained for `WARMUP_STEPS`
 on synthetic scenes with exact geometry (data/synthetic.py) so disparity
@@ -98,20 +101,28 @@ def main():
     if args.warmup:
         _ = float(metrics["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        state, metrics = train_step(state, batches[i % len(batches)])
-    _ = float(metrics["loss"])  # forces completion of the whole chain
-    dt = time.perf_counter() - t0
+    # three disjoint timed windows, report the median: ~1% run-to-run
+    # noise is otherwise indistinguishable from a small regression
+    rates = []
+    for _w in range(3):
+        t0 = time.perf_counter()
+        for i in range(TIMED_STEPS):
+            state, metrics = train_step(state, batches[i % len(batches)])
+        _ = float(metrics["loss"])  # forces completion of the whole chain
+        dt = time.perf_counter() - t0
+        rates.append(TIMED_STEPS * cfg.batch / dt)
 
     # everything ran committed to ONE device — no division by device_count
-    per_chip = TIMED_STEPS * cfg.batch / dt
+    per_chip = float(np.median(rates))
+    spread = (max(rates) - min(rates)) / per_chip
     print(json.dumps({
         "metric": f"train_images_per_sec_per_chip_"
                   f"{cfg.width}x{cfg.height}_b{cfg.batch}",
         "value": round(per_chip, 2),
         "unit": "img/s",
         "vs_baseline": round(per_chip / REFERENCE_IMG_PER_SEC, 3),
+        # median of 3 disjoint 20-step windows; spread = (max-min)/median
+        "spread": round(spread, 4),
         # the reference publishes no throughput; the denominator is an
         # ESTIMATE from official Monodepth2's published 12 h / 20 epochs
         # on a Titan Xp (module docstring) — the img/s value above is

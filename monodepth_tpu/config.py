@@ -80,6 +80,22 @@ class Config:
                                          # so default off: the warp_span telemetry
                                          # metric + loop warning covers divergence
                                          # detection for attended runs
+    warp_auto_swap: bool = True          # epoch-boundary divergence remediation: when
+                                         # a training epoch's MEAN warp_span exceeds
+                                         # GUARD_SPAN (the regime where the Pallas
+                                         # kernel is slower than the flat-cost packed
+                                         # gather), rebuild the train step on the
+                                         # packed sampler for the next epoch and swap
+                                         # back once the span recovers. Zero
+                                         # steady-state cost (unlike --warp_guard's
+                                         # per-warp cond, ~23%); one recompile per
+                                         # swap direction per run (both steps stay
+                                         # cached). training/loop.py
+                                         # _maybe_swap_sampler
+    warp_telemetry: bool = False         # INTERNAL (no CLI flag): force the warp_span
+                                         # telemetry metric even on the packed-gather
+                                         # sampler — set by the auto-swap's fallback
+                                         # step so span recovery stays observable
     pallas_interpret: bool = False       # run Pallas kernels in interpret mode off-TPU
                                          # (CPU-mesh dryruns/tests exercise the kernel
                                          # code path; never set on real hardware)
@@ -237,6 +253,8 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--use_pallas", default=d.use_pallas, type=_parse_bool)
     p.add_argument("--nchw_decoder", default=d.nchw_decoder, type=_parse_bool)
     p.add_argument("--warp_guard", default=d.warp_guard, type=_parse_bool)
+    p.add_argument("--warp_auto_swap", default=d.warp_auto_swap,
+                   type=_parse_bool)
     p.add_argument("--pallas_interpret", default=d.pallas_interpret, type=_parse_bool)
     p.add_argument("--train_gt_metrics", default=d.train_gt_metrics, type=_parse_bool)
     p.add_argument("--remat", default=d.remat, type=_parse_bool)
@@ -246,4 +264,8 @@ def options(argv: Sequence[str] | None = None) -> Config:
     p.add_argument("--spatial_halo", default=d.spatial_halo, type=int)
     p.add_argument("--eigen_every", default=d.eigen_every, type=int)
     args = p.parse_args(argv)
-    return Config(**{f.name: getattr(args, f.name) for f in dataclasses.fields(Config)}).validate()
+    # fields without a CLI flag (internal, e.g. warp_telemetry) keep
+    # their dataclass defaults
+    return Config(**{f.name: getattr(args, f.name)
+                     for f in dataclasses.fields(Config)
+                     if hasattr(args, f.name)}).validate()

@@ -49,13 +49,15 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch_batches = max(1, prefetch_batches)
+        if (process_count is None) != (process_index is None):
+            # the pair is all-or-nothing: silently defaulting the other
+            # half would duplicate (or mislabel) every host's batch slice
+            raise ValueError("process_count and process_index must be "
+                             "given together (or both left to the jax "
+                             "runtime)")
         if process_count is None:
             process_count = jax.process_count()
             process_index = jax.process_index()
-        elif process_index is None:
-            # silently defaulting to rank 0 would make every host load
-            # the same slice — a duplicated global batch, not a sharded one
-            raise ValueError("process_count given without process_index")
         if batch_size % process_count:
             raise ValueError(f"global batch {batch_size} not divisible by "
                              f"{process_count} processes")

@@ -208,8 +208,12 @@ def eigen_metrics(disparities: np.ndarray,
     """The 7-metric mean-over-images table (reference model_test.py).
     Plain-float values: callers json.dump these (metrics.jsonl, the
     distributed worker) and np.float64 is not JSON-serializable."""
-    means = eigen_errors(disparities, ground_truths, datatype).mean(0)
-    return dict(zip(METRIC_NAMES, means.tolist()))
+    errors = eigen_errors(disparities, ground_truths, datatype)
+    if not len(errors):
+        # a mean over zero images would be a silent all-NaN row in
+        # metrics.jsonl (evaluate_multihost guards this itself)
+        raise ValueError("eigen_metrics: empty sweep (no images)")
+    return dict(zip(METRIC_NAMES, errors.mean(0).tolist()))
 
 
 def process_slice(lines: Sequence[str]) -> list:

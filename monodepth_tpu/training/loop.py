@@ -201,14 +201,12 @@ class Trainer:
         self.state = replicate(self.mesh, self.state)
 
         step_mesh = self.mesh if self.mesh.devices.size > 1 else None
-        if cfg.steps_per_call > 1:
-            self.train_step = make_train_multi_step(self.model, self.tx,
-                                                    cfg, donate=cfg.donate,
-                                                    mesh=step_mesh)
-        else:
-            self.train_step = make_train_step(self.model, self.tx, cfg,
-                                              donate=cfg.donate,
-                                              mesh=step_mesh)
+        self.train_step = self._build_train_step(cfg)
+        # warp auto-swap (--warp_auto_swap): both step objects stay cached
+        # so oscillating across GUARD_SPAN costs one compile per direction
+        # per run, nothing after (jit caches by function identity)
+        self._train_step_cache = {"pallas": self.train_step}
+        self._warp_swapped = False
         self.eval_step = make_eval_step(self.model, cfg, mesh=step_mesh)
 
         from monodepth_tpu.utils.platform import enable_compile_cache
@@ -232,6 +230,64 @@ class Trainer:
 
         self._eigen = None  # lazy (lines, ground_truths) for --eigen_every
         self._eigen_infer = None  # cached jitted depth forward (one trace)
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self, cfg: Config):
+        step_mesh = self.mesh if self.mesh.devices.size > 1 else None
+        if cfg.steps_per_call > 1:
+            return make_train_multi_step(self.model, self.tx, cfg,
+                                         donate=cfg.donate, mesh=step_mesh)
+        return make_train_step(self.model, self.tx, cfg,
+                               donate=cfg.donate, mesh=step_mesh)
+
+    def _maybe_swap_sampler(self, train_log: Dict[str, float]):
+        """Epoch-boundary divergence remediation (--warp_auto_swap).
+
+        The Pallas candidate kernel's cost is linear in the displacement
+        field's per-slab span; a diverged run (~±50 px noise warps) makes
+        it ~10x slower than the flat-cost packed XLA gather. The per-warp
+        `--warp_guard` cond fixes that at a measured 23% steady-state tax,
+        so the default remediation acts at epoch boundaries instead: when
+        a training epoch's MEAN warp_span exceeds GUARD_SPAN, the next
+        epoch runs a rebuilt step on the packed sampler (with span
+        telemetry kept alive via cfg.warp_telemetry), and swaps back the
+        first epoch the mean span recovers. Zero cost while healthy; one
+        recompile per swap direction per run. Returns the new sampler
+        label on a swap, else None. Reference: SURVEY §5.3 — the
+        reference has no failure detection at all; this makes unattended
+        divergence a logged, self-correcting event instead of a silent
+        10x slowdown."""
+        import dataclasses
+        import math
+
+        cfg = self.cfg
+        if not cfg.warp_auto_swap or cfg.warp_guard:
+            return None
+        span = train_log.get("warp_span")
+        if span is None or math.isnan(span):
+            return None
+        from monodepth_tpu.ops.pallas.warp_sample import GUARD_SPAN
+
+        if not self._warp_swapped and span > GUARD_SPAN:
+            if "packed" not in self._train_step_cache:
+                fb = dataclasses.replace(cfg, use_pallas=False,
+                                         warp_telemetry=True)
+                self._train_step_cache["packed"] = self._build_train_step(fb)
+            self.train_step = self._train_step_cache["packed"]
+            self._warp_swapped = True
+            print(f">>> warp auto-swap: epoch-mean warp span {span:.0f} px "
+                  f"> {GUARD_SPAN:.0f} (Pallas kernel out of its fast "
+                  f"regime) — swapping to the flat-cost packed gather for "
+                  f"the next epoch (one recompile; swaps back on recovery)")
+            return "packed"
+        if self._warp_swapped and span <= GUARD_SPAN:
+            self.train_step = self._train_step_cache["pallas"]
+            self._warp_swapped = False
+            print(f">>> warp auto-swap: epoch-mean warp span recovered to "
+                  f"{span:.0f} px <= {GUARD_SPAN:.0f} — back on the Pallas "
+                  f"sampler")
+            return "pallas"
+        return None
 
     # ------------------------------------------------------------------
     def eigen_eval(self) -> Dict[str, float]:
@@ -266,10 +322,18 @@ class Trainer:
             failure, (lines, gts) = exc, ([], [])
         if self._eigen is not None:
             lines, gts = self._eigen
-        if self._eigen_infer is None:
-            from monodepth_tpu.training.step import make_infer_step
+        try:
+            if self._eigen_infer is None:
+                from monodepth_tpu.training.step import make_infer_step
 
-            self._eigen_infer = make_infer_step(self.model, self.cfg)
+                self._eigen_infer = make_infer_step(self.model, self.cfg)
+        except Exception as exc:  # noqa: BLE001 — same lockstep contract:
+            # a rank-local failure building the infer step (OOM, import)
+            # must still reach evaluate_multihost's allgather or the peer
+            # ranks deadlock in the collective
+            if not multihost:
+                raise
+            failure = failure or exc
         if multihost:
             return eigen.evaluate_multihost(
                 self.cfg, self.state, lines, gts,
@@ -315,20 +379,28 @@ class Trainer:
             # packed XLA gather would be faster (docs/PERF.md). Warning
             # instead of a per-warp lax.cond guard: the cond was
             # measured at ~23% steady-state throughput (--warp_guard
-            # opts back into it for unattended runs).
+            # opts back into it; --warp_auto_swap remediates at epoch
+            # boundaries at zero steady-state cost).
             from monodepth_tpu.ops.pallas.warp_sample import GUARD_SPAN
 
             nonlocal span_warned
+            if self._warp_swapped:
+                return  # already on the flat-cost packed sampler
             # use the running MAX, not the epoch-cumulative mean: the
             # mean dilutes late-epoch divergence below the threshold
             span = means.get("warp_span_max", means.get("warp_span"))
             if span is not None and span > GUARD_SPAN and not span_warned:
                 span_warned = True
+                remedy = ("--warp_auto_swap moves to the flat-cost "
+                          "packed gather at the epoch boundary"
+                          if self.cfg.warp_auto_swap and not
+                          self.cfg.warp_guard
+                          else "--warp_guard true or --use_pallas false "
+                               "would keep the step's cost flat")
                 print(f">>> WARNING: warp dy-span {span:.0f} px — "
                       f"displacement fields far outside the Pallas "
                       f"kernel's fast regime (diverged training?); "
-                      f"--warp_guard true or --use_pallas false would "
-                      f"keep the step's cost flat")
+                      f"{remedy}")
 
         for step, batch in enumerate(
                 prefetch_to_device(chain(), cfg.prefetch, shardings)):
@@ -383,6 +455,12 @@ class Trainer:
             if profiling and epoch == self.start_epoch:
                 jax.profiler.start_trace(cfg.profile_dir)
             train_log = self._epoch(epoch, training=True)
+            # which sampler THIS epoch ran on (recorded in metrics.jsonl),
+            # then the epoch-boundary divergence remediation
+            sampler_used = None
+            if "warp_span" in train_log:
+                sampler_used = "packed" if self._warp_swapped else "pallas"
+                self._maybe_swap_sampler(train_log)
             valid_log = self._epoch(epoch, training=False)
             if profiling and epoch == self.start_epoch:
                 jax.profiler.stop_trace()
@@ -408,7 +486,8 @@ class Trainer:
 
                     print_table(f"eigen test sweep (epoch {epoch + 1})",
                                 eigen_log)
-            self._append_jsonl(epoch, train_log, valid_log, eigen_log)
+            self._append_jsonl(epoch, train_log, valid_log, eigen_log,
+                               warp_sampler=sampler_used)
 
             if (epoch + 1) % max(cfg.ckpt_every, 1) == 0 \
                     or epoch == cfg.epoch - 1 or stop["now"]:
@@ -438,7 +517,7 @@ class Trainer:
         print(f"    {'valid':>6} {row(valid_log)}")
 
     def _append_jsonl(self, epoch: int, train_log, valid_log,
-                      eigen_log=None):
+                      eigen_log=None, warp_sampler: str | None = None):
         """Machine-readable per-epoch record (metrics.jsonl) alongside the
         console table and .npy curves."""
         import json
@@ -456,6 +535,10 @@ class Trainer:
                                  self.cfg.scheduler_step, 1)(epoch)
         record = {"epoch": epoch, "time": time.time(), "lr": float(lr),
                   "train": clean(train_log), "valid": clean(valid_log)}
+        if warp_sampler is not None:
+            # the sampler the epoch's train pass ran on ("pallas" or
+            # "packed") — an auto-swap shows up as this field changing
+            record["warp_sampler"] = warp_sampler
         if eigen_log:
             record["eigen"] = clean(eigen_log)
         os.makedirs(self.save_dir, exist_ok=True)

@@ -247,12 +247,15 @@ def apply_and_warp(model: Monodepth, variables, batch: Dict[str, Array],
             else:
                 T = transforms[fid]
             grid = warp_grid(depth, inv_K, K, T)
-            if pallas_active and scale == 0:
+            if (pallas_active or cfg.warp_telemetry) and scale == 0:
                 # telemetry: the candidate kernel's cost is linear in
                 # this span (warp_sample.dy_span); scale-0 grids are
                 # representative of all scales (full-res warp). Logged
                 # per step, warned on in the loop — a diverged run shows
                 # up in metrics.jsonl instead of silently slowing 10x.
+                # cfg.warp_telemetry keeps the metric alive on the packed
+                # sampler so the auto-swap can observe span RECOVERY
+                # (loop.py _maybe_swap_sampler).
                 from monodepth_tpu.ops.pallas.warp_sample import dy_span
 
                 s = dy_span(grid)

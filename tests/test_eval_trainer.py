@@ -350,3 +350,72 @@ def test_meter_tracks_warp_span_max():
     m2 = meter2.means()
     assert m2["warp_span_max"] == pytest.approx(90.0)
     assert m2["loss"] == pytest.approx(1.0)
+
+
+def test_warp_auto_swap_transitions(kitti_tree, tmp_path):
+    """--warp_auto_swap (SURVEY §5.3 failure remediation): a degenerate
+    epoch-mean warp span swaps the train step to the flat-cost packed
+    sampler (with span telemetry kept alive so recovery is observable),
+    and a recovered span swaps back to the cached original — no rebuild."""
+    root, splits = kitti_tree
+    cfg = make_cfg(root, splits, str(tmp_path))
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1))
+    try:
+        original = trainer.train_step
+
+        # degenerate epoch (mean span far above GUARD_SPAN) -> packed
+        assert trainer._maybe_swap_sampler({"warp_span": 100.0}) == "packed"
+        assert trainer._warp_swapped
+        assert trainer.train_step is trainer._train_step_cache["packed"]
+        assert trainer.train_step is not original
+
+        # the swapped step still runs AND still reports warp_span
+        # (cfg.warp_telemetry) so the swap-back condition stays observable
+        batch = next(iter(trainer.train_loader.epoch(0)))
+        state, metrics = trainer.train_step(trainer.state, batch)
+        assert "warp_span" in metrics
+        assert np.isfinite(float(metrics["warp_span"]))
+        assert np.isfinite(float(metrics["loss"]))
+
+        # healthy span while swapped -> back to the ORIGINAL object
+        # (cached: swap-back costs zero recompiles)
+        assert trainer._maybe_swap_sampler({"warp_span": 3.0}) == "pallas"
+        assert not trainer._warp_swapped
+        assert trainer.train_step is original
+
+        # healthy span while not swapped -> no-op
+        assert trainer._maybe_swap_sampler({"warp_span": 3.0}) is None
+        # missing telemetry -> no-op (non-Pallas configs never swap)
+        assert trainer._maybe_swap_sampler({"loss": 1.0}) is None
+    finally:
+        trainer.train_loader.close()
+        trainer.valid_loader.close()
+
+
+def test_warp_auto_swap_end_to_end(kitti_tree, tmp_path, monkeypatch):
+    """Feed a run whose real measured span exceeds (a monkeypatched)
+    GUARD_SPAN through Trainer.train(): epoch 1 trains on the Pallas
+    sampler (interpret mode), the epoch-boundary remediation swaps, and
+    epoch 2 trains on the packed sampler — metrics.jsonl records the
+    sampler each epoch ran on."""
+    import json
+
+    from monodepth_tpu.ops.pallas import warp_sample
+
+    # any real field exceeds this -> the swap must fire after epoch 1
+    monkeypatch.setattr(warp_sample, "GUARD_SPAN", 1e-6)
+
+    root, splits = kitti_tree
+    # kernel-supported shape (H % 8 == 0, W % 128 == 0) + interpret mode
+    # so the Pallas sampler path is active on CPU
+    cfg = make_cfg(root, splits, str(tmp_path), height=32, width=128,
+                   epoch=2, use_pallas=True, pallas_interpret=True)
+    trainer = Trainer(cfg, mesh=make_mesh(1, 1))
+    trainer.train()
+    assert trainer._warp_swapped
+
+    with open(os.path.join(trainer.save_dir, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert [r["warp_sampler"] for r in records] == ["pallas", "packed"]
+    # telemetry stayed alive across the swap
+    assert records[1]["train"]["warp_span"] is not None

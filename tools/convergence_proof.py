@@ -84,6 +84,14 @@ def main():
                    help="compute dtype; default bf16 on TPU / f32 on CPU "
                         "(matches real training). Explicit f32 on TPU "
                         "isolates whether a plateau is bf16-rounding")
+    p.add_argument("--use_pallas", default=False,
+                   type=lambda t: t.lower() in ("1", "true", "yes"),
+                   help="run the PRODUCTION Pallas warp sampler (needs a "
+                        "kernel-supported shape: H%%8==0, W%%128==0 — e.g. "
+                        "--width 384). Default False = the XLA packed "
+                        "gather, so CPU runs work unchanged; True binds "
+                        "the kernel's custom VJP into the convergence "
+                        "evidence (docs/convergence_pallas.md)")
     p.add_argument("--out", default="", type=str,
                    help="write a markdown report here")
     args = p.parse_args()
@@ -99,10 +107,19 @@ def main():
     precision = args.precision or ("bf16" if on_tpu else "f32")
     cfg = Config(height=args.height, width=args.width, batch=args.batch,
                  learning_rate=args.learning_rate, seed=args.seed,
-                 weight_init=False, use_pallas=False, frame_ids=frame_ids,
+                 weight_init=False, use_pallas=args.use_pallas,
+                 frame_ids=frame_ids,
                  use_automasking=args.use_automasking,
                  precision=precision,
                  train_gt_metrics=False)
+    if args.use_pallas:
+        from monodepth_tpu.training.step import _make_sampler
+
+        assert _make_sampler(cfg, None)[1], \
+            (f"--use_pallas given but the kernel sampler is inactive "
+             f"(shape {args.height}x{args.width} supported? backend "
+             f"{jax.default_backend()}) — the proof would silently test "
+             f"the fallback")
     print(f">>> backend {jax.default_backend()}, "
           f"{args.scenes} scenes at {args.height}x{args.width}, "
           f"batch {args.batch}, {args.steps} steps")
@@ -213,6 +230,7 @@ def main():
         "batch": args.batch,
         "backend": jax.default_backend(),
         "precision": precision,
+        "use_pallas": args.use_pallas,
         "frame_ids": list(map(str, frame_ids)),
         "tx_sign": args.tx_sign,
         "loss_first10": round(loss0, 4),
@@ -240,9 +258,10 @@ def main():
                 "decrease + depth rank-correlation demonstrates the full "
                 "train stack (model -> warp -> min-reprojection/automask "
                 "loss -> Adam) optimizes toward true geometry.\n\n"
-                f"Command: `python tools/convergence_proof.py --steps "
-                f"{args.steps} --height {args.height} --width {args.width} "
-                f"--batch {args.batch} --scenes {args.scenes}`\n\n"
+                f"Command: `python tools/convergence_proof.py --mode "
+                f"{args.mode} --steps {args.steps} --height {args.height} "
+                f"--width {args.width} --batch {args.batch} --scenes "
+                f"{args.scenes} --use_pallas {args.use_pallas}`\n\n"
                 "| quantity | value |\n|---|---|\n"
                 + "".join(f"| {k} | {v} |\n" for k, v in result.items()
                           if k != "per_scene_corr")

@@ -52,7 +52,17 @@ def read_archive_list(path: str) -> list:
 def _remote_size(url: str) -> int:
     req = urllib.request.Request(url, method="HEAD")
     with urllib.request.urlopen(req, timeout=60) as r:
-        return int(r.headers.get("Content-Length", -1))
+        size = int(r.headers.get("Content-Length", -1))
+    if size >= 0:
+        return size
+    # HEAD gave no Content-Length (some mirrors strip it); a 1-byte Range
+    # GET carries the full size in Content-Range: "bytes 0-0/TOTAL"
+    req = urllib.request.Request(url, headers={"Range": "bytes=0-0"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        rng = r.headers.get("Content-Range", "")
+        r.read()
+    tail = rng.rsplit("/", 1)[-1]
+    return int(tail) if tail.isdigit() else -1
 
 
 def download_one(url: str, zip_dir: str, chunk: int = 1 << 20) -> str:
@@ -61,7 +71,11 @@ def download_one(url: str, zip_dir: str, chunk: int = 1 << 20) -> str:
     dst = os.path.join(zip_dir, name)
     part = dst + ".part"
     total = _remote_size(url)
-    if os.path.exists(dst) and (total < 0 or os.path.getsize(dst) == total):
+    if os.path.exists(dst) and total < 0:
+        # size unverifiable: keep the file but say so — a truncated
+        # earlier download would be silently accepted otherwise
+        return f"skip {name} (exists; remote size unknown, NOT verified)"
+    if os.path.exists(dst) and os.path.getsize(dst) == total:
         return f"skip {name} (complete)"
     have = os.path.getsize(part) if os.path.exists(part) else 0
     headers = {"Range": f"bytes={have}-"} if have else {}
