@@ -56,28 +56,52 @@ def init_distributed() -> bool:
 
 
 def warm_collectives(mesh: Mesh) -> float:
-    """Establish the cross-process communicator clique with one tiny
-    all-reduce BEFORE any expensive compile. Single-process: no-op.
+    """Establish the cross-process communicator contexts with tiny
+    collectives BEFORE any expensive compile. Single-process: no-op.
 
     The first collective an executable runs creates its communicators;
     on the CPU multi-process backend the Gloo address exchange goes
     through the coordinator KV store with a hard ~30 s timeout measured
-    from the first rank's arrival. Ranks that compile the real train
-    step concurrently on a contended host can skew past that window
-    (observed on a 1-CPU host: the 2-process test failed with Gloo
-    `GetKeyValue() timed out` inside the first train step). One
-    trivially-compiled global sum pins the clique while ranks are still
-    in lockstep after `jax.distributed.initialize`; later executables
-    reuse the cached communicators. Returns the global device count as
+    from the first rank's arrival. Ranks that compile or execute the
+    real train step concurrently on a contended host can skew past that
+    window (observed on a 1-CPU host: the 2-process test failed with
+    Gloo `GetKeyValue() timed out` inside the first train step; round 5
+    hit the same thing again on a spatial mesh's interleaved-order
+    full-set context DURING the interpret-mode step's skewed execution).
+    Contexts are keyed by participant set, so one warm executable must
+    touch every set the train step uses: the per-axis psum subgroups,
+    the neighbor-ppermute pairs (the spatial halo exchange), and the
+    full-set reduction in THIS mesh's device order. All are trivially
+    compiled while ranks are still in lockstep; later executables reuse
+    the cached communicators. Returns the global device count as
     computed ON DEVICE, so callers can sanity-assert the slice."""
     if jax.process_count() == 1:
         return float(mesh.devices.size)
     import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
 
     sh = NamedSharding(mesh, P(mesh.axis_names))
     local = np.ones((jax.local_device_count(),), np.float32)
     ga = jax.make_array_from_process_local_data(sh, local)
-    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(ga)
+
+    def _touch(v):
+        keep = v
+        for ax in mesh.axis_names:
+            if mesh.shape[ax] > 1:
+                keep = keep + 0.0 * jax.lax.psum(v, ax)
+        n = mesh.shape[mesh.axis_names[-1]]
+        if n > 1:  # halo-exchange pairs over the minor (spatial) axis
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            keep = keep + 0.0 * jax.lax.ppermute(
+                v, mesh.axis_names[-1], perm)
+        return keep
+
+    def warm(x):
+        y = shard_map(_touch, mesh=mesh, in_specs=P(mesh.axis_names),
+                      out_specs=P(mesh.axis_names))(x)
+        return jnp.sum(y)
+
+    total = jax.jit(warm, out_shardings=NamedSharding(mesh, P()))(ga)
     return float(total)
 
 

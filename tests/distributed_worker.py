@@ -116,6 +116,65 @@ def main():
         cfg, state, local_lines, gts, eval_batch=4, num_workers=2)
     result["eigen_local_images"] = len(local_lines)
 
+    # --- spatial x multi-host: the halo ppermute ACROSS a process
+    # boundary (BASELINE.json config 5's topology — the one sharding
+    # shape with no other coverage). Mesh devices are interleaved so
+    # every spatial pair spans both processes (the default order keeps
+    # pairs intra-process); the _spatial_pallas_sampler's halo ppermute,
+    # pmin agreement, and (cond) all-gather fallback then ride Gloo/DCN
+    # instead of intra-process memory. Both ranks load the SAME full
+    # global batch (process_count=1 slicing, same seed) and place it via
+    # make_array_from_callback — the loader's per-process B-slices are
+    # data-axis semantics, exercised by the phase above.
+    import numpy as np
+
+    from monodepth_tpu.training.step import _make_sampler
+
+    spatial_cfg = Config(datapath=args.datapath, splits=args.splits,
+                         height=32, width=128, batch=8, scales=(0, 1),
+                         precision="f32", weight_init=False,
+                         use_pallas=True, pallas_interpret=True,
+                         num_workers=2).validate()
+    devs = np.asarray(jax.devices())
+    if args.num_processes > 1:
+        devs = devs.reshape(args.num_processes, -1).T.reshape(-1)
+    smesh = make_mesh(4, 2, devices=devs)
+    assert _make_sampler(spatial_cfg, smesh)[1], \
+        "spatial Pallas sampler inactive — the test would cover nothing"
+    if args.num_processes > 1:
+        cross = sum(a.process_index != b.process_index
+                    for a, b in smesh.devices)
+        assert cross == 4, f"only {cross}/4 spatial pairs cross processes"
+
+    sds = KittiDataset(spatial_cfg.datapath, lines, is_training=True,
+                       frame_ids=spatial_cfg.frame_ids,
+                       height=spatial_cfg.height, width=spatial_cfg.width,
+                       load_depth=False)
+    sloader = Loader(sds, batch_size=spatial_cfg.batch, shuffle=True,
+                     num_workers=2, seed=spatial_cfg.seed,
+                     process_index=0, process_count=1)  # full global batch
+    sbatch = next(sloader.epoch(0))
+    sloader.close()
+    sshardings = batch_shardings(smesh, sbatch)
+    gbatch = {k: jax.make_array_from_callback(
+                  v.shape, sshardings[k],
+                  (lambda v_: lambda idx: v_[idx])(v))
+              for k, v in sbatch.items()}
+
+    # The interleaved mesh's Gloo contexts (full set in THIS device
+    # order + the cross-process halo pairs) are distinct from the
+    # data-mesh clique warmed above — pin them while the ranks are
+    # still in lockstep, or the interpret-mode step's skewed execution
+    # races the ~30 s context-init window (warm_collectives doc).
+    assert warm_collectives(smesh) == smesh.devices.size
+    smodel = build_model(spatial_cfg)
+    stx = make_optimizer(spatial_cfg, steps_per_epoch=4)
+    sstate = replicate(smesh, create_state(spatial_cfg, smodel, stx))
+    sstep = make_train_step(smodel, stx, spatial_cfg, mesh=smesh)
+    sstate, smetrics = sstep(sstate, gbatch)
+    result["loss_spatial"] = float(smetrics["loss"])
+    result["warp_span_spatial"] = float(smetrics.get("warp_span", -1.0))
+
     if args.ckpt_dir:
         # Multi-host checkpoint contract (SURVEY §5.4/§5.8): EVERY process
         # calls save/restore — Orbax coordinates the write internally
@@ -146,8 +205,6 @@ def main():
         # The async form must coordinate the commit across processes the
         # same way (ocp.AsyncCheckpointer background-thread write + commit
         # barrier): save, drain, restore, and require bit-identical params.
-        import numpy as np
-
         ckpt_a = Checkpointer(args.ckpt_dir + "_async", async_save=True)
         ckpt_a.save(0, state)
         ckpt_a.wait()

@@ -154,6 +154,18 @@ def test_two_process_distributed_matches_single(kitti_tree, tmp_path):
     assert multi["async_ckpt_ok"] is True, multi
     assert single["async_ckpt_ok"] is True, single
 
+    # Spatial x multi-host (round 5): one train step on a {data:4,
+    # spatial:2} mesh whose spatial pairs each span BOTH processes, so
+    # the Pallas warp's halo ppermute / pmin / all-gather-fallback ran
+    # over the cross-process backend (Gloo here; DCN on a pod). Same
+    # global batch + state as the single-process spatial oracle -> same
+    # loss. warp_span >= 0 proves the Pallas telemetry path was live
+    # (i.e. the kernel sampler, not the packed fallback, was compiled in).
+    assert multi["warp_span_spatial"] >= 0.0, multi
+    assert single["warp_span_spatial"] >= 0.0, single
+    assert multi["loss_spatial"] == pytest.approx(single["loss_spatial"],
+                                                  rel=1e-4), (single, multi)
+
     # Multi-host Eigen sweep (--eigen_every's evaluate_multihost path):
     # the 2-process sweep splits the test lines across ranks (rank 0 sees
     # only its slice) yet the allgathered metrics equal the
